@@ -1,0 +1,90 @@
+"""Poseidon permutation over Goldilocks, t=12 (rate 8, capacity 4), x^7 sbox.
+
+Batched numpy implementation: hashes B independent inputs at once with
+state arrays of shape [B, 12].  Uses the optimized ("opt") constant schedule:
+8 full rounds + 22 partial rounds with sparse per-round matrices S and a
+pre-round constant fold (semantics match reference: starky/src/poseidon_opt.rs;
+golden vectors from its unit tests are in tests/test_poseidon.py).
+"""
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+from ..fields import gl64 as gl
+
+T = 12
+N_ROUNDS_F = 8
+N_ROUNDS_P = 22
+
+_DATA = os.path.join(os.path.dirname(__file__), "..", "data", "poseidon_gl_opt.npz")
+_consts = np.load(_DATA)
+C = _consts["C"].astype(np.uint64)
+M = _consts["M"].astype(np.uint64)  # [12][12]
+PMAT = _consts["P"].astype(np.uint64)
+S = _consts["S"].astype(np.uint64)
+
+
+def _mat_mul(state: np.ndarray, mat: np.ndarray) -> np.ndarray:
+    """out[:, i] = sum_j mat[j, i] * state[:, j] (column-indexed like reference)."""
+    out = np.zeros_like(state)
+    for i in range(T):
+        acc = np.zeros(state.shape[0], dtype=np.uint64)
+        for j in range(T):
+            acc = gl.add(acc, gl.mul(state[:, j], mat[j, i]))
+        out[:, i] = acc
+    return out
+
+
+def permute(inp: np.ndarray, init_state: np.ndarray) -> np.ndarray:
+    """Batched Poseidon: inp [B, 8], init_state [B, 4] -> full state [B, 12]."""
+    B = inp.shape[0]
+    state = np.zeros((B, T), dtype=np.uint64)
+    state[:, 0:8] = inp
+    state[:, 8:12] = init_state
+
+    state = gl.add(state, C[0:T][None, :])
+
+    half_f = N_ROUNDS_F // 2
+    for r in range(half_f - 1):
+        state = gl.pow7(state)
+        state = gl.add(state, C[(r + 1) * T : (r + 2) * T][None, :])
+        state = _mat_mul(state, M)
+
+    state = gl.pow7(state)
+    state = gl.add(state, C[half_f * T : (half_f + 1) * T][None, :])
+    state = _mat_mul(state, PMAT)
+
+    for r in range(N_ROUNDS_P):
+        state[:, 0] = gl.pow7(state[:, 0])
+        state[:, 0] = gl.add(state[:, 0], C[(half_f + 1) * T + r])
+        srow = S[(2 * T - 1) * r : (2 * T - 1) * r + T]
+        s0 = np.zeros(B, dtype=np.uint64)
+        for j in range(T):
+            s0 = gl.add(s0, gl.mul(state[:, j], srow[j]))
+        scol = S[(2 * T - 1) * r + T : (2 * T - 1) * (r + 1)]
+        for k in range(1, T):
+            state[:, k] = gl.add(state[:, k], gl.mul(state[:, 0], scol[k - 1]))
+        state[:, 0] = s0
+
+    base = (half_f + 1) * T + N_ROUNDS_P
+    for r in range(half_f - 1):
+        state = gl.pow7(state)
+        state = gl.add(state, C[base + r * T : base + (r + 1) * T][None, :])
+        state = _mat_mul(state, M)
+
+    state = gl.pow7(state)
+    state = _mat_mul(state, M)
+    return state
+
+
+def hash_n(inp: np.ndarray, init_state: np.ndarray, out: int = 4) -> np.ndarray:
+    """Batched sponge call: [B, 8] x [B, 4] -> [B, out]."""
+    return permute(inp, init_state)[:, :out]
+
+
+def hash_one(inp8, state4, out: int = 4) -> np.ndarray:
+    inp = np.asarray(inp8, dtype=np.uint64)[None, :]
+    st = np.asarray(state4, dtype=np.uint64)[None, :]
+    return hash_n(inp, st, out)[0]
