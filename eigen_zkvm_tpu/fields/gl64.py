@@ -160,3 +160,30 @@ def two_adic_roots():
 
 def root_of_unity(nbits: int) -> int:
     return two_adic_roots()[nbits]
+
+
+def sum_mod(a: np.ndarray, axis: int = 0) -> np.ndarray:
+    """Modular sum reduction along an axis (pairwise log-depth folding)."""
+    a = np.moveaxis(a, axis, 0)
+    while a.shape[0] > 1:
+        n = a.shape[0]
+        half = n // 2
+        folded = add(a[:half], a[half : 2 * half])
+        if n % 2:
+            folded = np.concatenate([folded, a[-1:]], axis=0)
+        a = folded
+    return a[0]
+
+
+def exp_vec(base: np.ndarray, e: np.ndarray) -> np.ndarray:
+    """base ** e with per-element integer exponents (uint64 array)."""
+    e = np.asarray(e, dtype=np.uint64)
+    result = np.ones_like(e)
+    b = np.broadcast_to(asfield(base), e.shape).copy()
+    e = e.copy()
+    while np.any(e):
+        odd = (e & np.uint64(1)).astype(bool)
+        result = np.where(odd, mul(result, b), result)
+        e >>= np.uint64(1)
+        b = mul(b, b)
+    return result

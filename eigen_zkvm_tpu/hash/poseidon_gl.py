@@ -37,9 +37,59 @@ def _mat_mul(state: np.ndarray, mat: np.ndarray) -> np.ndarray:
     return out
 
 
+# Python-int constant tables for the scalar fast path (batch==1 callers like
+# the transcript and per-query proof verification; numpy batch-1 dispatch
+# overhead would dominate there).
+_P = int(gl.P_INT)
+_C_I = [int(x) for x in C]
+_M_I = [[int(x) for x in row] for row in M]
+_P_I = [[int(x) for x in row] for row in PMAT]
+_S_I = [int(x) for x in S]
+
+
+def _pow7i(x: int) -> int:
+    x2 = x * x % _P
+    x3 = x2 * x % _P
+    return x3 * x3 % _P * x % _P
+
+
+def _permute_scalar(state: list) -> list:
+    t, half_f = T, N_ROUNDS_F // 2
+    state = [(state[i] + _C_I[i]) % _P for i in range(t)]
+    for r in range(half_f - 1):
+        state = [_pow7i(x) for x in state]
+        state = [(state[i] + _C_I[(r + 1) * t + i]) % _P for i in range(t)]
+        state = [sum(_M_I[j][i] * state[j] for j in range(t)) % _P for i in range(t)]
+    state = [_pow7i(x) for x in state]
+    state = [(state[i] + _C_I[half_f * t + i]) % _P for i in range(t)]
+    state = [sum(_P_I[j][i] * state[j] for j in range(t)) % _P for i in range(t)]
+    for r in range(N_ROUNDS_P):
+        s0 = (_pow7i(state[0]) + _C_I[(half_f + 1) * t + r]) % _P
+        state[0] = s0
+        base = (2 * t - 1) * r
+        new0 = sum(_S_I[base + j] * state[j] for j in range(t)) % _P
+        for k in range(1, t):
+            state[k] = (state[k] + _S_I[base + t + k - 1] * s0) % _P
+        state[0] = new0
+    base = (half_f + 1) * t + N_ROUNDS_P
+    for r in range(half_f - 1):
+        state = [_pow7i(x) for x in state]
+        state = [(state[i] + _C_I[base + r * t + i]) % _P for i in range(t)]
+        state = [sum(_M_I[j][i] * state[j] for j in range(t)) % _P for i in range(t)]
+    state = [_pow7i(x) for x in state]
+    state = [sum(_M_I[j][i] * state[j] for j in range(t)) % _P for i in range(t)]
+    return state
+
+
 def permute(inp: np.ndarray, init_state: np.ndarray) -> np.ndarray:
     """Batched Poseidon: inp [B, 8], init_state [B, 4] -> full state [B, 12]."""
     B = inp.shape[0]
+    if B <= 4:  # scalar fast path: numpy dispatch dominates tiny batches
+        out = np.zeros((B, T), dtype=np.uint64)
+        for b in range(B):
+            st = [int(x) for x in inp[b]] + [int(x) for x in init_state[b]]
+            out[b] = _permute_scalar(st)
+        return out
     state = np.zeros((B, T), dtype=np.uint64)
     state[:, 0:8] = inp
     state[:, 8:12] = init_state
