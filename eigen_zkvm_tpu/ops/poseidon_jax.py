@@ -1,0 +1,209 @@
+"""Batched Poseidon-GL permutation + Merkle tree construction in JAX.
+
+TPU-shaped: state lives as [B, 12] u32-pair tensors; each dense layer is ONE
+broadcasted vector multiply [B, 12, 12] + a log-depth modular reduction
+(instead of 144 scalar muls), and the round ladder is a lax.scan over
+per-round constant rows, so the traced graph stays small (fast compiles) and
+XLA fuses each round body.  Digests are bit-exact with hash/poseidon_gl.py.
+(reference counterparts: starky/src/poseidon_opt.rs, linearhash.rs,
+merklehash.rs — there parallelized with rayon; here one device-wide batch.)
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..hash import poseidon_gl as pnp
+from . import gl_jax as g
+
+T = 12
+N_ROUNDS_F = 8
+N_ROUNDS_P = 22
+_HALF_F = N_ROUNDS_F // 2
+
+_C = pnp.C.copy()          # [118] u64
+_M = pnp.M.copy()          # [12,12]
+_PM = pnp.PMAT.copy()
+_S = pnp.S.copy()          # [506]
+
+# constant tables as u32 pairs (jnp)
+def _pair_const(x):
+    x = np.asarray(x, dtype=np.uint64)
+    return (jnp.asarray((x & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((x >> np.uint64(32)).astype(np.uint32)))
+
+
+_C_FULL_A = _pair_const(_C[T : _HALF_F * T].reshape(_HALF_F - 1, T))     # rounds 1..3
+_C_MID = _pair_const(_C[_HALF_F * T : (_HALF_F + 1) * T])                # opt fold
+_C_PART = _pair_const(_C[(_HALF_F + 1) * T : (_HALF_F + 1) * T + N_ROUNDS_P])
+_C0 = _pair_const(_C[0:T])
+_C_FULL_B = _pair_const(
+    _C[(_HALF_F + 1) * T + N_ROUNDS_P : (_HALF_F + 1) * T + N_ROUNDS_P
+       + (_HALF_F - 1) * T].reshape(_HALF_F - 1, T))
+_M_P = _pair_const(_M)
+_PM_P = _pair_const(_PM)
+_S_ROWS = _pair_const(_S.reshape(N_ROUNDS_P, 2 * T - 1)[:, :T])          # [22,12]
+_S_COLS = _pair_const(_S.reshape(N_ROUNDS_P, 2 * T - 1)[:, T:])          # [22,11]
+
+
+def _reduce_sum(v, axis):
+    """Modular sum along an axis by log-depth folding (power-of-2 padding)."""
+    n = v[0].shape[axis]
+    while n > 1:
+        half = n // 2
+        lo = (jax.lax.slice_in_dim(v[0], 0, half, axis=axis),
+              jax.lax.slice_in_dim(v[1], 0, half, axis=axis))
+        hi = (jax.lax.slice_in_dim(v[0], half, 2 * half, axis=axis),
+              jax.lax.slice_in_dim(v[1], half, 2 * half, axis=axis))
+        s = g.add(lo, hi)
+        if n % 2:
+            tail = (jax.lax.slice_in_dim(v[0], n - 1, n, axis=axis),
+                    jax.lax.slice_in_dim(v[1], n - 1, n, axis=axis))
+            s0 = (jax.lax.slice_in_dim(s[0], 0, 1, axis=axis),
+                  jax.lax.slice_in_dim(s[1], 0, 1, axis=axis))
+            s0 = g.add(s0, tail)
+            s = (jax.lax.concatenate([s0[0], jax.lax.slice_in_dim(s[0], 1, half, axis=axis)], axis),
+                 jax.lax.concatenate([s0[1], jax.lax.slice_in_dim(s[1], 1, half, axis=axis)], axis))
+        v = s
+        n = (n + 1) // 2 if n % 2 else half
+    return (jnp.squeeze(v[0], axis), jnp.squeeze(v[1], axis))
+
+
+def _mat_layer(state, mat):
+    """state [B,12] pair x mat [12,12] pair -> [B,12]; out[:,i]=sum_j s[:,j]*m[j,i]."""
+    prod = g.mul((state[0][:, :, None], state[1][:, :, None]),
+                 (mat[0][None, :, :], mat[1][None, :, :]))  # [B,12(j),12(i)]
+    return _reduce_sum(prod, axis=1)
+
+
+def _add_row(state, crow):
+    return g.add(state, (crow[0][None, :], crow[1][None, :]))
+
+
+def permute(state):
+    """state: [B, 12] u32 pair -> [B, 12] u32 pair."""
+    state = _add_row(state, _C0)
+
+    def full_round(st, crow):
+        st = g.pow7(st)
+        st = _add_row(st, crow)
+        st = _mat_layer(st, _M_P)
+        return st, None
+
+    state, _ = jax.lax.scan(full_round, state, _C_FULL_A)
+    state = g.pow7(state)
+    state = _add_row(state, _C_MID)
+    state = _mat_layer(state, _PM_P)
+
+    def partial_round(st, consts):
+        c, srow, scol = consts
+        s0 = g.pow7((st[0][:, 0], st[1][:, 0]))
+        s0 = g.add(s0, c)
+        st = (st[0].at[:, 0].set(s0[0]), st[1].at[:, 0].set(s0[1]))
+        new0 = _reduce_sum(g.mul(st, (srow[0][None, :], srow[1][None, :])), axis=1)
+        tail = g.add((st[0][:, 1:], st[1][:, 1:]),
+                     g.mul((s0[0][:, None], s0[1][:, None]),
+                           (scol[0][None, :], scol[1][None, :])))
+        st = (jnp.concatenate([new0[0][:, None], tail[0]], axis=1),
+              jnp.concatenate([new0[1][:, None], tail[1]], axis=1))
+        return st, None
+
+    # scan over 22 partial rounds; xs packed as a tuple of pairs
+    state, _ = jax.lax.scan(
+        lambda st, xs: partial_round(st, xs),
+        state,
+        ((_C_PART[0], _C_PART[1]), (_S_ROWS[0], _S_ROWS[1]), (_S_COLS[0], _S_COLS[1])),
+    )
+
+    def full_round_b(st, crow):
+        st = g.pow7(st)
+        st = _add_row(st, crow)
+        st = _mat_layer(st, _M_P)
+        return st, None
+
+    state, _ = jax.lax.scan(full_round_b, state, _C_FULL_B)
+    state = g.pow7(state)
+    state = _mat_layer(state, _M_P)
+    return state
+
+
+def hash_n(inp, init_state):
+    """inp [B,8] pair, init_state [B,4] pair -> [B,4] pair digests."""
+    st = (jnp.concatenate([inp[0], init_state[0]], axis=1),
+          jnp.concatenate([inp[1], init_state[1]], axis=1))
+    out = permute(st)
+    return (out[0][:, :4], out[1][:, :4])
+
+
+def _pad_cols(v, width):
+    cur = v[0].shape[1]
+    if cur == width:
+        return v
+    pad = [(0, 0), (0, width - cur)]
+    return (jnp.pad(v[0], pad), jnp.pad(v[1], pad))
+
+
+def _hash_fold(rows):
+    """Sponge-fold [B, w] pair -> [B, 4] digests (reference `_hash`)."""
+    B, w = rows[0].shape
+    if w <= 4:
+        return _pad_cols(rows, 4)
+    st = (jnp.zeros((B, 4), jnp.uint32), jnp.zeros((B, 4), jnp.uint32))
+    n_full = w // 8
+    for i in range(n_full):
+        blk = (rows[0][:, i * 8 : (i + 1) * 8], rows[1][:, i * 8 : (i + 1) * 8])
+        st = hash_n(blk, st)
+    rem = w - n_full * 8
+    if rem:
+        blk = _pad_cols((rows[0][:, n_full * 8 :], rows[1][:, n_full * 8 :]), 8)
+        st = hash_n(blk, st)
+    return st
+
+
+def hash_leaves(rows, w: int):
+    """Leaf hash of [B, w] pair -> [B, 4] pair (linearhash.rs semantics)."""
+    B = rows[0].shape[0]
+    if w == 0:
+        return (jnp.zeros((B, 4), jnp.uint32), jnp.zeros((B, 4), jnp.uint32))
+    if w <= 4:
+        return _pad_cols(rows, 4)
+    bs = max(8, -(-w // 4))
+    hsz = -(-w // bs)
+    digs = []
+    for c in range(hsz):
+        sub = (rows[0][:, c * bs : min((c + 1) * bs, w)],
+               rows[1][:, c * bs : min((c + 1) * bs, w)])
+        digs.append(_hash_fold(sub))
+    if hsz * 4 <= 4:
+        return digs[0]
+    cat = (jnp.concatenate([d[0] for d in digs], axis=1),
+           jnp.concatenate([d[1] for d in digs], axis=1))
+    return _hash_fold(cat)
+
+
+def merkle_levels(elements, width: int, height: int):
+    """Full tree on device: elements [height, width] pair -> list of [n,4]
+    pair levels (level 0 = leaf digests; odd levels zero-padded)."""
+    lvl = hash_leaves(elements, width)
+    levels = [lvl]
+    n = height
+    while n > 1:
+        if n % 2 == 1:
+            lvl = (jnp.concatenate([lvl[0], jnp.zeros((1, 4), jnp.uint32)], axis=0),
+                   jnp.concatenate([lvl[1], jnp.zeros((1, 4), jnp.uint32)], axis=0))
+        pairs = (jnp.concatenate([lvl[0][0::2], lvl[0][1::2]], axis=1),
+                 jnp.concatenate([lvl[1][0::2], lvl[1][1::2]], axis=1))
+        B = pairs[0].shape[0]
+        st = (jnp.zeros((B, 4), jnp.uint32), jnp.zeros((B, 4), jnp.uint32))
+        lvl = hash_n(pairs, st)
+        levels.append(lvl)
+        n = (n - 1) // 2 + 1
+    return levels
+
+
+@partial(jax.jit, static_argnums=(1, 2))
+def merkle_root_jit(elements, width: int, height: int):
+    return merkle_levels(elements, width, height)[-1]
