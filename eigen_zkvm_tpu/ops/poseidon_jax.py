@@ -68,7 +68,7 @@ def _reduce_sum(v, axis):
             s = (jax.lax.concatenate([s0[0], jax.lax.slice_in_dim(s[0], 1, half, axis=axis)], axis),
                  jax.lax.concatenate([s0[1], jax.lax.slice_in_dim(s[1], 1, half, axis=axis)], axis))
         v = s
-        n = (n + 1) // 2 if n % 2 else half
+        n = half
     return (jnp.squeeze(v[0], axis), jnp.squeeze(v[1], axis))
 
 
