@@ -207,3 +207,40 @@ def merkle_levels(elements, width: int, height: int):
 @partial(jax.jit, static_argnums=(1, 2))
 def merkle_root_jit(elements, width: int, height: int):
     return merkle_levels(elements, width, height)[-1]
+
+
+def fold_root_pow2(digs):
+    """Fold pair [..., n, 4] leaf digests (n a power of two) to pair [..., 4].
+
+    Compile-friendly tree reduction: the digest buffer keeps a CONSTANT shape
+    and every fori_loop iteration hashes all n/2 row pairs with ONE batched
+    permutation (row i depends only on rows 2i, 2i+1, so the garbage beyond
+    the live prefix never contaminates it) — one trace of hash_n total,
+    instead of log2(n) differently-shaped instances.
+    """
+    lo, hi = digs
+    n = lo.shape[-2]
+    if n == 1:
+        return (lo[..., 0, :], hi[..., 0, :])
+    batch = lo.shape[:-2]
+    nlev = n.bit_length() - 1
+    assert 1 << nlev == n, "fold_root_pow2 requires a power-of-two leaf count"
+
+    def body(_, buf):
+        blo, bhi = buf
+        plo = blo.reshape((-1, 8))
+        phi = bhi.reshape((-1, 8))
+        z = jnp.zeros((plo.shape[0], 4), jnp.uint32)
+        hlo, hhi = hash_n((plo, phi), (z, z))
+        hlo = hlo.reshape(batch + (n // 2, 4))
+        hhi = hhi.reshape(batch + (n // 2, 4))
+        return (jnp.concatenate([hlo, blo[..., n // 2 :, :]], axis=-2),
+                jnp.concatenate([hhi, bhi[..., n // 2 :, :]], axis=-2))
+
+    lo, hi = jax.lax.fori_loop(0, nlev, body, (lo, hi))
+    return (lo[..., 0, :], hi[..., 0, :])
+
+
+def merkle_root_pow2(elements, width: int):
+    """Root of a tree over pair [height, width] elements, height a power of 2."""
+    return fold_root_pow2(hash_leaves(elements, width))
