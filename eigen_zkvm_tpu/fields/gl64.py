@@ -108,6 +108,8 @@ def pow7(a: np.ndarray) -> np.ndarray:
 def exp(a: np.ndarray, e: int) -> np.ndarray:
     """a ** e (scalar integer exponent), vectorized square-and-multiply."""
     a = asfield(a)
+    if a.ndim == 0:  # scalar: CPython's pow is far faster than numpy loops
+        return np.uint64(pow(int(a), e, P_INT))
     result = np.ones_like(a)
     base = a
     while e > 0:
@@ -119,12 +121,40 @@ def exp(a: np.ndarray, e: int) -> np.ndarray:
 
 
 def inv(a: np.ndarray) -> np.ndarray:
-    """Inverse by Fermat: a^(p-2).  Inverse of 0 is undefined (returns 0^...)."""
-    return exp(a, P_INT - 2)
+    """Inverse: Fermat pow for scalars, Montgomery batch trick for arrays
+    (zeros map to zero, matching 0^(p-2))."""
+    a = asfield(a)
+    if a.ndim == 0:
+        return np.uint64(pow(int(a), P_INT - 2, P_INT))
+    zero_mask = a == 0
+    if zero_mask.any():
+        safe = a.copy()
+        safe[zero_mask] = 1
+        out = batch_inverse(safe)
+        out[zero_mask] = 0
+        return out
+    return batch_inverse(a)
 
 
 def batch_inverse(a: np.ndarray) -> np.ndarray:
-    return inv(a)
+    """Montgomery trick: one Fermat inversion for n elements (all nonzero)."""
+    flat = asfield(a).reshape(-1)
+    n = flat.shape[0]
+    if n == 0:
+        return flat.reshape(a.shape)
+    pref = prefix_product(flat)              # pref[i] = prod_{k<=i} a[k]
+    total_inv = np.uint64(pow(int(pref[-1]), P_INT - 2, P_INT))
+    out = np.empty_like(flat)
+    # walk back: inv(a[i]) = pref[i-1] * suffix_inv; vectorized form below
+    suffix = np.empty_like(flat)
+    suffix[-1] = total_inv
+    # suffix[i] = total_inv * prod_{k>i} a[k]^... computed by reverse scan
+    rev = np.concatenate([np.ones(1, dtype=np.uint64), flat[:0:-1]])
+    rev_pref = prefix_product(rev)           # rev_pref[j] = prod of last j elems
+    suffix = mul(np.broadcast_to(total_inv, (n,)).copy(), rev_pref[::-1])
+    out[0] = suffix[0]
+    out[1:] = mul(pref[:-1], suffix[1:])
+    return out.reshape(np.asarray(a).shape)
 
 
 def prefix_product(a: np.ndarray) -> np.ndarray:

@@ -38,6 +38,10 @@ def _hash_rows(rows: np.ndarray) -> np.ndarray:
 def hash_leaves(rows: np.ndarray, batch_size: int = 0) -> np.ndarray:
     """Leaf hash of rows [B, width] -> [B, 4] (reference `LinearHash::hash`)."""
     B, w = rows.shape
+    if batch_size == 0:
+        nat = poseidon_gl._get_native()
+        if nat is not None:
+            return nat.hash_leaves(rows)
     if w <= 4:
         out = np.zeros((B, 4), dtype=np.uint64)
         out[:, :w] = rows

@@ -27,14 +27,13 @@ S = _consts["S"].astype(np.uint64)
 
 
 def _mat_mul(state: np.ndarray, mat: np.ndarray) -> np.ndarray:
-    """out[:, i] = sum_j mat[j, i] * state[:, j] (column-indexed like reference)."""
-    out = np.zeros_like(state)
-    for i in range(T):
-        acc = np.zeros(state.shape[0], dtype=np.uint64)
-        for j in range(T):
-            acc = gl.add(acc, gl.mul(state[:, j], mat[j, i]))
-        out[:, i] = acc
-    return out
+    """out[:, i] = sum_j mat[j, i] * state[:, j] (column-indexed like reference).
+
+    One [B,12,12] batched field-mul + a log-depth modular reduction instead of
+    144 per-lane calls — numpy dispatch overhead otherwise dominates the hash.
+    """
+    prod = gl.mul(state[:, :, None], mat[None, :, :])  # [B, 12(j), 12(i)]
+    return gl.sum_mod(prod, axis=1)
 
 
 # Python-int constant tables for the scalar fast path (batch==1 callers like
@@ -81,8 +80,27 @@ def _permute_scalar(state: list) -> list:
     return state
 
 
+_native = None
+_native_checked = False
+
+
+def _get_native():
+    """The C++/OpenMP kernel (native/poseidon_gl.cpp), if it built."""
+    global _native, _native_checked
+    if not _native_checked:
+        from .. import native as _n
+
+        _native = _n.poseidon
+        _native_checked = True
+    return _native
+
+
 def permute(inp: np.ndarray, init_state: np.ndarray) -> np.ndarray:
     """Batched Poseidon: inp [B, 8], init_state [B, 4] -> full state [B, 12]."""
+    nat = _get_native()
+    if nat is not None:
+        return nat.permute(np.ascontiguousarray(inp, dtype=np.uint64),
+                           np.ascontiguousarray(init_state, dtype=np.uint64))
     B = inp.shape[0]
     if B <= 4:  # scalar fast path: numpy dispatch dominates tiny batches
         out = np.zeros((B, T), dtype=np.uint64)
@@ -110,12 +128,10 @@ def permute(inp: np.ndarray, init_state: np.ndarray) -> np.ndarray:
         state[:, 0] = gl.pow7(state[:, 0])
         state[:, 0] = gl.add(state[:, 0], C[(half_f + 1) * T + r])
         srow = S[(2 * T - 1) * r : (2 * T - 1) * r + T]
-        s0 = np.zeros(B, dtype=np.uint64)
-        for j in range(T):
-            s0 = gl.add(s0, gl.mul(state[:, j], srow[j]))
+        s0 = gl.sum_mod(gl.mul(state, srow[None, :]), axis=1)
         scol = S[(2 * T - 1) * r + T : (2 * T - 1) * (r + 1)]
-        for k in range(1, T):
-            state[:, k] = gl.add(state[:, k], gl.mul(state[:, 0], scol[k - 1]))
+        state[:, 1:] = gl.add(state[:, 1:],
+                              gl.mul(state[:, 0:1], scol[None, :]))
         state[:, 0] = s0
 
     base = (half_f + 1) * T + N_ROUNDS_P
