@@ -36,6 +36,13 @@ class TranscriptGL:
             if len(self.pending) == 8:
                 self._update_state()
 
+    # uniform transcript interface shared with the big-field transcripts
+    put_elements = put
+
+    def put_root(self, root):
+        """Absorb a Merkle root digest (4 GL elements, absorbed elementwise)."""
+        self.put(root)
+
     def get_fields1(self) -> int:
         if self.out:
             return self.out.pop(0)

@@ -24,7 +24,8 @@ class FRIProof:
 
 
 class FRI:
-    def __init__(self, stark_struct):
+    def __init__(self, stark_struct, merkle_cls=MerkleTreeGL):
+        self.merkle_cls = merkle_cls
         self.in_nbits = stark_struct.nBitsExt
         self.max_deg_nbits = stark_struct.nBits
         self.n_queries = stark_struct.nQueries
@@ -38,7 +39,7 @@ class FRI:
 
         shift = np.uint64(gl.SHIFT)
         shift_inv = gl.inv(shift)
-        trees: list[MerkleTreeGL] = []
+        trees = []
         proof = FRIProof(len(self.steps))
 
         for si, step in enumerate(self.steps):
@@ -68,13 +69,13 @@ class FRI:
                 # leaf i <- [pol2_e[j*n_groups + i] for j] flattened x3
                 etb = pol2_e.reshape(group_size, n_groups, 3).transpose(1, 0, 2)
                 etb = etb.reshape(n_groups, group_size * 3)
-                tree = MerkleTreeGL().merkelize(etb, 3 * group_size, n_groups)
+                tree = self.merkle_cls().merkelize(etb, 3 * group_size, n_groups)
                 trees.append(tree)
                 proof.queries[si + 1]["root"] = tree.root()
-                transcript.put([int(x) for x in tree.root()])
+                transcript.put_root(tree.root())
             else:
                 for e in pol2_e:
-                    transcript.put([int(e[0]), int(e[1]), int(e[2])])
+                    transcript.put_elements([int(e[0]), int(e[1]), int(e[2])])
 
             pol = pol2_e
             pol_bits -= reduction_bits
@@ -102,10 +103,10 @@ class FRI:
         for si in range(len(self.steps)):
             special_x.append(transcript.get_field())
             if si < len(self.steps) - 1:
-                transcript.put([int(x) for x in proof.queries[si + 1]["root"]])
+                transcript.put_root(proof.queries[si + 1]["root"])
             else:
                 for e in proof.last:
-                    transcript.put([int(e[0]), int(e[1]), int(e[2])])
+                    transcript.put_elements([int(e[0]), int(e[1]), int(e[2])])
 
         ys = transcript.get_permutations(self.n_queries, self.steps[0].nBits)
         pol_bits = self.in_nbits
@@ -121,7 +122,7 @@ class FRI:
                         return False
                 else:
                     vals, mp = proof_item["pol_queries"][i][0]
-                    if not MerkleTreeGL.verify_group_proof(
+                    if not self.merkle_cls.verify_group_proof(
                             proof_item["root"], mp, ys[i], vals):
                         return False
                     pgroup_e = np.asarray(vals, dtype=np.uint64).reshape(-1, 3)

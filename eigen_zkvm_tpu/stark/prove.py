@@ -24,9 +24,6 @@ def stark_prove(stark_struct_file: str, pil_file: str, const_file: str,
     """Prove one PIL trace; returns (proof, setup). Writes zkin/circom files."""
     pil = load_pil(pil_file)
     ss = load_starkstruct(stark_struct_file)
-    if ss.verificationHashType not in ("GL",):
-        raise NotImplementedError(
-            f"verificationHashType {ss.verificationHashType} not yet supported")
     const_pols = PolsArray(pil, PolsArray.CONSTANT).load(const_file)
     cm_pols = PolsArray(pil, PolsArray.COMMIT).load(cm_file)
     setup = StarkSetup(const_pols, pil, ss)

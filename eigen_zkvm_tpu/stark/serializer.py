@@ -22,7 +22,10 @@ def _s(x) -> str:
     return str(int(x))
 
 
-def _digest(d) -> list[str]:
+def _digest(d):
+    """GL digests are 4-string lists; big-field digests a single string."""
+    if isinstance(d, (int, np.integer)):
+        return _s(d)
     return [_s(x) for x in d]
 
 
@@ -101,18 +104,20 @@ def _parse_f3(v) -> np.ndarray:
     return out
 
 
-def _parse_digest(v) -> np.ndarray:
+def _parse_digest(v):
     if isinstance(v, list):
         return np.asarray([np.uint64(int(x)) for x in v], dtype=np.uint64)
-    return np.asarray([np.uint64(int(v)), 0, 0, 0], dtype=np.uint64)
+    return int(v)  # big-field digest value
 
 
 def _parse_vals(vals) -> np.ndarray:
     return np.asarray([int(x) for x in vals], dtype=np.uint64)
 
 
-def _parse_sibs(sibs) -> list[np.ndarray]:
-    return [_parse_digest(node) for node in sibs]
+def _parse_sibs(sibs) -> list:
+    # GL: levels of 4 sibling limbs; BN128/BLS12381: levels of 16 Fr values
+    return [[int(x) for x in node] if len(node) == 16 else _parse_digest(node)
+            for node in sibs]
 
 
 def stark_proof_from_dict(d: dict) -> StarkProof:

@@ -17,9 +17,8 @@ import numpy as np
 
 from ..fields import f3g
 from ..fields import gl64 as gl
-from ..hash.merkle_gl import MerkleTreeGL
-from ..hash.transcript_gl import TranscriptGL
 from ..poly import ntt
+from .backends import get_backend
 from .fri import FRI, FRIProof
 from .vm import ProverContext, execute_segment
 
@@ -87,24 +86,25 @@ def calculate_z(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     return z
 
 
-def _extend_and_merkelize(ctx: ProverContext, section: str):
+def _extend_and_merkelize(ctx: ProverContext, section: str, merkle_cls):
     """LDE a *_n section to its *_2ns twin and Merkle-commit it."""
     n_pols = ctx.sections[section].shape[1]
     ext_name = section.replace("_n", "_2ns")
     lde = ntt.interpolate(ctx.sections[section], ctx.nbits, ctx.nbits_ext) \
         if n_pols else np.zeros((ctx.Next, 0), dtype=np.uint64)
     ctx.sections[ext_name][:, :] = lde
-    tree = MerkleTreeGL().merkelize(lde, n_pols, ctx.Next)
+    tree = merkle_cls().merkelize(lde, n_pols, ctx.Next)
     return tree
 
 
-def _merkelize(ctx: ProverContext, section: str):
+def _merkelize(ctx: ProverContext, section: str, merkle_cls):
     buf = ctx.sections[section]
-    return MerkleTreeGL().merkelize(buf, buf.shape[1], buf.shape[0])
+    return merkle_cls().merkelize(buf, buf.shape[1], buf.shape[0])
 
 
-def stark_gen(cm_pols, const_pols, const_tree: MerkleTreeGL, starkinfo,
+def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
               program, stark_struct, prover_addr: str = "") -> StarkProof:
+    merkle_cls, transcript_cls = get_backend(stark_struct.verificationHashType)
     ctx = ProverContext(starkinfo, stark_struct)
     N, Next = ctx.N, ctx.Next
     extend_bits = ctx.nbits_ext - ctx.nbits
@@ -145,13 +145,13 @@ def stark_gen(cm_pols, const_pols, const_tree: MerkleTreeGL, starkinfo,
         else:
             raise ValueError(f"Invalid public type {pe.polType}")
 
-    transcript = TranscriptGL()
+    transcript = transcript_cls()
     for i in range(n_pub):
-        transcript.put([int(x) for x in ctx.publics[i, : public_dims[i]]])
+        transcript.put_elements([int(x) for x in ctx.publics[i, : public_dims[i]]])
 
     # ---- stage 1
-    tree1 = _extend_and_merkelize(ctx, "cm1_n")
-    transcript.put([int(x) for x in tree1.root()])
+    tree1 = _extend_and_merkelize(ctx, "cm1_n", merkle_cls)
+    transcript.put_root(tree1.root())
     ctx.challenges[0] = transcript.get_field()  # u
     ctx.challenges[1] = transcript.get_field()  # defVal
 
@@ -166,8 +166,8 @@ def stark_gen(cm_pols, const_pols, const_tree: MerkleTreeGL, starkinfo,
         n_cm += 1
 
     # ---- stage 2
-    tree2 = _extend_and_merkelize(ctx, "cm2_n")
-    transcript.put([int(x) for x in tree2.root()])
+    tree2 = _extend_and_merkelize(ctx, "cm2_n", merkle_cls)
+    transcript.put_root(tree2.root())
     ctx.challenges[2] = transcript.get_field()  # gamma
     ctx.challenges[3] = transcript.get_field()  # beta
 
@@ -182,8 +182,8 @@ def stark_gen(cm_pols, const_pols, const_tree: MerkleTreeGL, starkinfo,
     execute_segment(ctx, program.step3, "n")
 
     # ---- stage 3
-    tree3 = _extend_and_merkelize(ctx, "cm3_n")
-    transcript.put([int(x) for x in tree3.root()])
+    tree3 = _extend_and_merkelize(ctx, "cm3_n", merkle_cls)
+    transcript.put_root(tree3.root())
     ctx.challenges[4] = transcript.get_field()  # vc
 
     execute_segment(ctx, program.step42ns, "2ns")
@@ -202,8 +202,8 @@ def stark_gen(cm_pols, const_pols, const_tree: MerkleTreeGL, starkinfo,
         ctx.sections["cm4_2ns"][:, :] = ntt.ntt(qq2)
 
     # ---- stage 4
-    tree4 = _merkelize(ctx, "cm4_2ns")
-    transcript.put([int(x) for x in tree4.root()])
+    tree4 = _merkelize(ctx, "cm4_2ns", merkle_cls)
+    transcript.put_root(tree4.root())
     ctx.challenges[7] = transcript.get_field()  # xi
 
     # evals at xi and w*xi via Lagrange iNTT
@@ -235,7 +235,7 @@ def stark_gen(cm_pols, const_pols, const_tree: MerkleTreeGL, starkinfo,
     ctx.evals = evals
 
     for i in range(evals.shape[0]):
-        transcript.put([int(x) for x in evals[i]])
+        transcript.put_elements([int(x) for x in evals[i]])
 
     ctx.challenges[5] = transcript.get_field()  # v1
     ctx.challenges[6] = transcript.get_field()  # v2
@@ -262,7 +262,7 @@ def stark_gen(cm_pols, const_pols, const_tree: MerkleTreeGL, starkinfo,
             const_tree.get_group_proof(idx),
         ]
 
-    fri = FRI(stark_struct)
+    fri = FRI(stark_struct, merkle_cls)
     fri_proof = fri.prove(transcript, fri_pol, query_pol)
 
     proof = StarkProof()

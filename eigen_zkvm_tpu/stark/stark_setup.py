@@ -6,17 +6,18 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..hash.merkle_gl import MerkleTreeGL
 from ..poly import ntt
+from .backends import get_backend
 from .starkinfo import Program, StarkInfo
 
 
 class StarkSetup:
     def __init__(self, const_pols, pil, stark_struct, global_l1=None):
         assert const_pols.nPols == pil.nConstants
+        merkle_cls, _ = get_backend(stark_struct.verificationHashType)
         lde = ntt.interpolate(const_pols.buffer, stark_struct.nBits, stark_struct.nBitsExt) \
             if pil.nConstants else np.zeros((1 << stark_struct.nBitsExt, 0), dtype=np.uint64)
-        self.const_tree = MerkleTreeGL().merkelize(
+        self.const_tree = merkle_cls().merkelize(
             lde, const_pols.nPols, 1 << stark_struct.nBitsExt)
         self.const_root = self.const_tree.root()
         si = StarkInfo(pil, stark_struct, global_l1)

@@ -11,14 +11,14 @@ import numpy as np
 
 from ..fields import f3g
 from ..fields import gl64 as gl
-from ..hash.merkle_gl import MerkleTreeGL
-from ..hash.transcript_gl import TranscriptGL
+from .backends import get_backend
 from .fri import FRI
 from .vm import execute_code_one
 
 
 def stark_verify(proof, const_root, starkinfo, stark_struct, program) -> bool:
-    transcript = TranscriptGL()
+    merkle_cls, transcript_cls = get_backend(stark_struct.verificationHashType)
+    transcript = transcript_cls()
     N = 1 << stark_struct.nBits
     nbits = stark_struct.nBits
     extend_bits = stark_struct.nBitsExt - stark_struct.nBits
@@ -29,20 +29,20 @@ def stark_verify(proof, const_root, starkinfo, stark_struct, program) -> bool:
 
     for i in range(publics.shape[0]):
         dim = proof.public_dims[i] if proof.public_dims else 1
-        transcript.put([int(x) for x in publics[i, :dim]])
+        transcript.put_elements([int(x) for x in publics[i, :dim]])
 
-    transcript.put([int(x) for x in proof.root1])
+    transcript.put_root(proof.root1)
     challenges[0] = transcript.get_field()  # u
     challenges[1] = transcript.get_field()  # defVal
-    transcript.put([int(x) for x in proof.root2])
+    transcript.put_root(proof.root2)
     challenges[2] = transcript.get_field()  # gamma
     challenges[3] = transcript.get_field()  # beta
-    transcript.put([int(x) for x in proof.root3])
+    transcript.put_root(proof.root3)
     challenges[4] = transcript.get_field()  # vc
-    transcript.put([int(x) for x in proof.root4])
+    transcript.put_root(proof.root4)
     challenges[7] = transcript.get_field()  # xi
     for i in range(evals.shape[0]):
-        transcript.put([int(x) for x in evals[i]])
+        transcript.put_elements([int(x) for x in evals[i]])
     challenges[5] = transcript.get_field()  # v1
     challenges[6] = transcript.get_field()  # v2
 
@@ -68,14 +68,14 @@ def stark_verify(proof, const_root, starkinfo, stark_struct, program) -> bool:
     if not np.array_equal(res, q_z):
         return False
 
-    fri = FRI(stark_struct)
+    fri = FRI(stark_struct, merkle_cls)
     roots = [proof.root1, proof.root2, proof.root3, proof.root4, const_root]
     w_full = np.uint64(gl.root_of_unity(nbits + extend_bits))
 
     def check_query(query, idx):
         for qi, root in enumerate(roots):
             vals, mp = query[qi]
-            if not MerkleTreeGL.verify_group_proof(root, mp, idx, vals):
+            if not merkle_cls.verify_group_proof(root, mp, idx, vals):
                 return None
         x = gl.mul(np.uint64(gl.SHIFT), gl.exp(w_full, idx))
         xx = f3g.from_base(x)
