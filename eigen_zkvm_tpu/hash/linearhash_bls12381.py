@@ -1,10 +1,10 @@
-"""BN254 linear hash — bindings of linearhash_big to poseidon_bn128."""
+"""BLS12-381 linear hash — bindings of linearhash_big to poseidon_bls12381."""
 from __future__ import annotations
 
 import functools
 
 from . import linearhash_big as _big
-from . import poseidon_bn128 as _pbn
+from . import poseidon_bls12381 as _pbn
 
 P = _pbn.P
 pack_gl4 = functools.partial(_big.pack_gl4, _pbn)

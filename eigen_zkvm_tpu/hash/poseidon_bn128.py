@@ -1,108 +1,15 @@
-"""Poseidon over the BN254 scalar field (circomlib "opt" schedule).
+"""Poseidon over the BN254 (a.k.a. BN128) scalar field — see poseidon_big.py.
 
-Variable state width t = len(inp)+1 (2..17), x^5 sbox, 8 full rounds and a
-per-t partial-round count.  Field elements are Python ints in value space —
-the reference's Montgomery representation is an implementation detail that
-cancels out of every hash (semantics: starky/src/poseidon_bn128_opt.rs,
-constants from its generated table; golden vectors in the Rust tests and
-circomlibjs replicated in tests/test_bn128.py).
+(reference: starky/src/poseidon_bn128_opt.rs + generated constants)
 """
 from __future__ import annotations
 
-import os
+from .poseidon_big import PoseidonBig
 
-import numpy as np
-
-# BN254 (a.k.a. BN128) scalar field r
 P = 21888242871839275222246405745257275088548364400416034343698204186575808495617
-
-N_ROUNDS_F = 8
 N_ROUNDS_P = [56, 57, 56, 60, 60, 63, 64, 63, 60, 66, 60, 65, 70, 60, 64, 68]
 
-_DATA = os.path.join(os.path.dirname(__file__), "..", "data", "poseidon_bn128_opt.npz")
+_inst = PoseidonBig(P, "poseidon_bn128_opt.npz", N_ROUNDS_P)
 
-
-def _ints(limb_arr: np.ndarray):
-    """[..., 4] u64 little-endian limbs -> nested lists of Python ints."""
-    flat = limb_arr.reshape(-1, 4)
-    vals = [int(r[0]) | int(r[1]) << 64 | int(r[2]) << 128 | int(r[3]) << 192
-            for r in flat]
-    shape = limb_arr.shape[:-1]
-    if len(shape) == 1:
-        return vals
-    t = shape[1]
-    return [vals[i * t:(i + 1) * t] for i in range(shape[0])]
-
-
-class _Tables:
-    def __init__(self):
-        data = np.load(_DATA)
-        self.C = {}
-        self.M = {}
-        self.Pm = {}
-        self.S = {}
-        for t in range(2, 18):
-            self.C[t] = _ints(data[f"C_{t}"])
-            self.M[t] = _ints(data[f"M_{t}"])
-            self.Pm[t] = _ints(data[f"P_{t}"])
-            self.S[t] = _ints(data[f"S_{t}"])
-
-
-_tables = None
-
-
-def tables() -> _Tables:
-    global _tables
-    if _tables is None:
-        _tables = _Tables()
-    return _tables
-
-
-def _pow5(x: int) -> int:
-    x2 = x * x % P
-    return x2 * x2 % P * x % P
-
-
-def hash_ex(inp: list[int], init_state: int, out: int) -> list[int]:
-    """Poseidon sponge call: 1..16 inputs + capacity init -> `out` outputs."""
-    if not 1 <= len(inp) <= 16:
-        raise ValueError(f"Wrong inputs length {len(inp)}")
-    t = len(inp) + 1
-    tb = tables()
-    C, M, Pm, S = tb.C[t], tb.M[t], tb.Pm[t], tb.S[t]
-    n_p = N_ROUNDS_P[t - 2]
-    half = N_ROUNDS_F // 2
-
-    state = [(init_state + C[0]) % P] + [(x + C[i + 1]) % P for i, x in enumerate(inp)]
-
-    for r in range(half - 1):
-        state = [_pow5(x) for x in state]
-        state = [(state[i] + C[(r + 1) * t + i]) % P for i in range(t)]
-        state = [sum(M[j][i] * state[j] for j in range(t)) % P for i in range(t)]
-
-    state = [_pow5(x) for x in state]
-    state = [(state[i] + C[half * t + i]) % P for i in range(t)]
-    state = [sum(Pm[j][i] * state[j] for j in range(t)) % P for i in range(t)]
-
-    for r in range(n_p):
-        s0 = (_pow5(state[0]) + C[(half + 1) * t + r]) % P
-        state[0] = s0
-        base = (2 * t - 1) * r
-        new0 = sum(S[base + j] * state[j] for j in range(t)) % P
-        for k in range(1, t):
-            state[k] = (state[k] + S[base + t + k - 1] * s0) % P
-        state[0] = new0
-
-    cbase = (half + 1) * t + n_p
-    for r in range(half - 1):
-        state = [_pow5(x) for x in state]
-        state = [(state[i] + C[cbase + r * t + i]) % P for i in range(t)]
-        state = [sum(M[j][i] * state[j] for j in range(t)) % P for i in range(t)]
-
-    state = [_pow5(x) for x in state]
-    state = [sum(M[j][i] * state[j] for j in range(t)) % P for i in range(t)]
-    return state[:out]
-
-
-def hash_fr(inp: list[int], init_state: int = 0) -> int:
-    return hash_ex(inp, init_state, 1)[0]
+hash_ex = _inst.hash_ex
+hash_fr = _inst.hash_fr

@@ -14,8 +14,13 @@ def get_backend(hash_type: str):
 
         return MerkleTreeGL, TranscriptGL
     if hash_type == "BN128":
-        from ..hash.merkle_bn128 import MerkleTreeBN128
-        from ..hash.transcript_bn128 import TranscriptBN128
+        from ..hash.merkle_big import MerkleTreeBN128
+        from ..hash.transcript_big import TranscriptBN128
 
         return MerkleTreeBN128, TranscriptBN128
+    if hash_type == "BLS12381":
+        from ..hash.merkle_big import MerkleTreeBLS12381
+        from ..hash.transcript_big import TranscriptBLS12381
+
+        return MerkleTreeBLS12381, TranscriptBLS12381
     raise NotImplementedError(f"verificationHashType {hash_type}")

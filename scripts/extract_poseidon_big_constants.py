@@ -11,10 +11,17 @@ import re
 
 import numpy as np
 
-SRC = "/root/reference/starky/src/poseidon_bn128_constants_opt.rs"
-OUT = "eigen_zkvm_tpu/data/poseidon_bn128_opt.npz"
+import sys
 
-N_ROUNDS_P = [56, 57, 56, 60, 60, 63, 64, 63, 60, 66, 60, 65, 70, 60, 64, 68]
+CURVES = {
+    "bn128": ("/root/reference/starky/src/poseidon_bn128_constants_opt.rs",
+              "eigen_zkvm_tpu/data/poseidon_bn128_opt.npz",
+              [56, 57, 56, 60, 60, 63, 64, 63, 60, 66, 60, 65, 70, 60, 64, 68]),
+    "bls12381": ("/root/reference/starky/src/poseidon_bls12381_constants_opt.rs",
+                 "eigen_zkvm_tpu/data/poseidon_bls12381_opt.npz",
+                 [55, 55, 56, 56, 56, 56, 57, 57, 57, 57, 57, 57, 57, 57, 59, 59]),
+}
+SRC, OUT, N_ROUNDS_P = CURVES[sys.argv[1] if len(sys.argv) > 1 else "bn128"]
 
 
 def limbs(x: int) -> list[int]:
