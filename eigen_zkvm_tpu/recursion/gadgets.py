@@ -1,0 +1,181 @@
+"""In-circuit gadgets for the STARK verifier circuit.
+
+Each gadget mirrors the semantics of a pil-stark circuits.gl template that
+the reference's generated verifier includes (stark_verifier_circom.rs:16-27):
+transcript (Poseidon sponge), LinearHash, MerkleHash, TreeSelector, FFT
+(group iNTT), EvalPol — re-expressed on the native CircuitBuilder, with the
+linear parts (iNTT, muxes' add-halves, MDS) carried symbolically in lcs so
+they cost no gates.
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields import gl64 as gl
+from .circuit import CircuitBuilder, P, W
+
+
+class CircuitTranscript:
+    """Fiat-Shamir transcript over signal ids; semantics identical to
+    hash/transcript_gl.py (reference: starky/src/transcript.rs)."""
+
+    def __init__(self, b: CircuitBuilder):
+        self.b = b
+        self.state = [0, 0, 0, 0]  # signal ids; 0 == zero
+        self.pending: list[int] = []
+        self.out: list[int] = []
+
+    def _update(self):
+        while len(self.pending) < 8:
+            self.pending.append(0)
+        full = self.b.poseidon(self.pending + self.state)
+        self.out = list(full)
+        self.state = list(full[0:4])
+        self.pending = []
+
+    def put(self, sid: int):
+        self.out = []
+        self.pending.append(sid)
+        if len(self.pending) == 8:
+            self._update()
+
+    def put_many(self, sids):
+        for s in sids:
+            self.put(s)
+
+    def get_fields1(self) -> int:
+        if self.out:
+            return self.out.pop(0)
+        self._update()
+        return self.get_fields1()
+
+    def get_field(self):
+        return tuple(W({self.get_fields1(): 1}) for _ in range(3))
+
+    def get_permutations(self, n: int, nbits: int) -> list[list[W]]:
+        """n query indices, nbits bit-signals each (LSB first), drawing 63
+        bits per transcript field element."""
+        total = n * nbits
+        n_fields = (total - 1) // 63 + 1
+        bit_stream: list[W] = []
+        for _ in range(n_fields):
+            f = self.get_fields1()
+            bits = self.b.bits(W({f: 1}), 64, strict=True)
+            bit_stream.extend(bits[:63])
+        res = []
+        for i in range(n):
+            res.append(bit_stream[i * nbits : (i + 1) * nbits])
+        return res
+
+
+def linear_hash(b: CircuitBuilder, vals: list[int]) -> list[int]:
+    """Leaf hash of `vals` signal ids -> 4 signal ids (0 allowed for zero).
+    Mirrors hash/linearhash_gl.py exactly (reference: starky/src/linearhash.rs)."""
+    w = len(vals)
+    if w <= 4:
+        return vals + [0] * (4 - w)
+    bs = max(8, -(-w // 4))
+    hsz = -(-w // bs)
+    chunks: list[int] = []
+    for c in range(hsz):
+        part = vals[c * bs : min((c + 1) * bs, w)]
+        chunks.extend(_hash_rows(b, part))
+    if hsz * 4 <= 4:
+        return chunks[:4]
+    return _hash_rows(b, chunks)
+
+
+def _hash_rows(b: CircuitBuilder, vals: list[int]) -> list[int]:
+    w = len(vals)
+    if w <= 4:
+        return vals + [0] * (4 - w)
+    st = [0, 0, 0, 0]
+    pos = 0
+    while pos < w:
+        block = vals[pos : pos + 8]
+        block = block + [0] * (8 - len(block))
+        st = b.poseidon(block + st)[:4]
+        pos += 8
+    return st
+
+
+def merkle_verify(b: CircuitBuilder, root, vals: list[int],
+                  siblings: list[list[int]], key_bits: list[W]):
+    """Assert a Merkle group-proof in-circuit.
+
+    root: 4 W wires; vals: leaf group signal ids; siblings: per level 4
+    signal ids; key_bits: one bit wire per level (LSB first).  Mirrors
+    hash/merkle_gl.py verify_group_proof / calculate_root_from_proof."""
+    cur = linear_hash(b, vals)
+    assert len(siblings) == len(key_bits)
+    for lvl, sib in enumerate(siblings):
+        bit = key_bits[lvl]
+        left, right = [], []
+        for i in range(4):
+            c = W({cur[i]: 1}) if cur[i] else W()
+            s = W({sib[i]: 1}) if sib[i] else W()
+            l = b.mux(bit, c, s)   # bit ? sib : cur
+            r = c + s - l
+            left.append(b.materialize(l))
+            right.append(b.materialize(r))
+        cur = b.poseidon(left + right + [0, 0, 0, 0])[:4]
+    for i in range(4):
+        b.assert_eq(W({cur[i]: 1}), root[i])
+
+
+def tree_selector(b: CircuitBuilder, values, key_bits: list[W]):
+    """Select values[key] from 2^len(key_bits) F3 triples (TreeSelector)."""
+    cur = list(values)
+    for bit in key_bits:
+        nxt = []
+        for j in range(len(cur) // 2):
+            v0, v1 = cur[2 * j], cur[2 * j + 1]
+            nxt.append(tuple(b.mux(bit, v0[e], v1[e]) for e in range(3)))
+        cur = nxt
+    assert len(cur) == 1
+    return cur[0]
+
+
+_intt_mats: dict = {}
+
+
+def intt_matrix(nbits: int) -> list[list[int]]:
+    """Dense inverse-NTT matrix: coeff[i] = sum_j M[i][j] * val[j], matching
+    poly/ntt.intt (M[i][j] = w^{-ij} / n)."""
+    if nbits not in _intt_mats:
+        n = 1 << nbits
+        w_inv = int(gl.inv(np.uint64(gl.root_of_unity(nbits))))
+        n_inv = pow(n, P - 2, P)
+        mat = [[pow(w_inv, (i * j) % n, P) * n_inv % P for j in range(n)]
+               for i in range(n)]
+        _intt_mats[nbits] = mat
+    return _intt_mats[nbits]
+
+
+def group_intt(values) -> list:
+    """Linear (gate-free) iNTT over a list of F3 triples of W wires."""
+    n = len(values)
+    nbits = n.bit_length() - 1
+    assert 1 << nbits == n
+    mat = intt_matrix(nbits)
+    out = []
+    for i in range(n):
+        acc = [W(), W(), W()]
+        for j in range(n):
+            c = mat[i][j]
+            if c == 0:
+                continue
+            for e in range(3):
+                acc[e] = acc[e] + values[j][e].scale(c)
+        out.append(tuple(acc))
+    return out
+
+
+def eval_pol(b: CircuitBuilder, pol, x):
+    """Horner evaluation of F3 coefficient triples at F3 x (EvalPol)."""
+    if len(pol) == 1:
+        return pol[0]
+    acc = pol[-1]
+    for i in range(len(pol) - 2, -1, -1):
+        acc = b.f3_mul(acc, x, pol[i])
+    return acc
