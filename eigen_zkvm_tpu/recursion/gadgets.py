@@ -136,39 +136,66 @@ def tree_selector(b: CircuitBuilder, values, key_bits: list[W]):
     return cur[0]
 
 
-_intt_mats: dict = {}
-
-
-def intt_matrix(nbits: int) -> list[list[int]]:
-    """Dense inverse-NTT matrix: coeff[i] = sum_j M[i][j] * val[j], matching
-    poly/ntt.intt (M[i][j] = w^{-ij} / n)."""
-    if nbits not in _intt_mats:
-        n = 1 << nbits
-        w_inv = int(gl.inv(np.uint64(gl.root_of_unity(nbits))))
-        n_inv = pow(n, P - 2, P)
-        mat = [[pow(w_inv, (i * j) % n, P) * n_inv % P for j in range(n)]
-               for i in range(n)]
-        _intt_mats[nbits] = mat
-    return _intt_mats[nbits]
-
-
-def group_intt(values) -> list:
-    """Linear (gate-free) iNTT over a list of F3 triples of W wires."""
+def group_intt(b: CircuitBuilder, values) -> list:
+    """iNTT over a list of F3 triples of W wires, as a radix-2 butterfly
+    network (the pil-stark analog uses FFT4 custom gates; here each stage is
+    linear and stage outputs are re-materialized so linear combinations stay
+    2 terms wide — O(n log n) sum gates instead of O(n^2) lc terms).
+    Output matches poly/ntt.intt: forward NTT then index-reverse + 1/n."""
     n = len(values)
     nbits = n.bit_length() - 1
     assert 1 << nbits == n
-    mat = intt_matrix(nbits)
-    out = []
+    if n == 1:
+        return list(values)
+    if n <= 4:
+        # small groups: dense linear combination, no gates at all
+        w_inv = pow(_root_int(nbits), P - 2, P)
+        n_inv = pow(n, P - 2, P)
+        out = []
+        for i in range(n):
+            acc = [W(), W(), W()]
+            for j in range(n):
+                c = pow(w_inv, (i * j) % n, P) * n_inv % P
+                for e in range(3):
+                    acc[e] = acc[e] + values[j][e].scale(c)
+            out.append(tuple(acc))
+        return out
+
+    rev = [0] * n
     for i in range(n):
-        acc = [W(), W(), W()]
-        for j in range(n):
-            c = mat[i][j]
-            if c == 0:
-                continue
-            for e in range(3):
-                acc[e] = acc[e] + values[j][e].scale(c)
-        out.append(tuple(acc))
+        r = 0
+        for bit in range(nbits):
+            r |= ((i >> bit) & 1) << (nbits - 1 - bit)
+        rev[i] = r
+    buf = [values[rev[i]] for i in range(n)]
+    w_n = _root_int(nbits)
+    for s in range(1, nbits + 1):
+        m = 1 << s
+        half = m >> 1
+        nxt = list(buf)
+        for blk in range(n // m):
+            for j in range(half):
+                tw = pow(w_n, j * (n // m), P)
+                lo = buf[blk * m + j]
+                hi = buf[blk * m + half + j]
+                t = tuple(hi[e].scale(tw) for e in range(3))
+                a = tuple(lo[e] + t[e] for e in range(3))
+                c = tuple(lo[e] - t[e] for e in range(3))
+                if s < nbits:  # keep lcs narrow for the next stage
+                    a = tuple(b.wire(b.materialize(x)) for x in a)
+                    c = tuple(b.wire(b.materialize(x)) for x in c)
+                nxt[blk * m + j] = a
+                nxt[blk * m + half + j] = c
+        buf = nxt
+    n_inv = pow(n, P - 2, P)
+    out = [tuple(x.scale(n_inv) for x in buf[0])]
+    for i in range(n - 1, 0, -1):
+        out.append(tuple(x.scale(n_inv) for x in buf[i]))
     return out
+
+
+def _root_int(nbits: int) -> int:
+    return int(gl.root_of_unity(nbits))
 
 
 def eval_pol(b: CircuitBuilder, pol, x):

@@ -216,7 +216,7 @@ class StarkVerifierCircuit:
                     p.s_sibs[s][q], ys[q][:cur_bits])
                 group = [tuple(W({p.s_vals[s][q][i * 3 + e]: 1})
                                for e in range(3)) for i in range(group_size)]
-                coeffs = group_intt(group)
+                coeffs = group_intt(b, group)
                 # sx = (shift_prev * w_prev^(y mod 2^cur))^-1
                 sx = ys[q][0].scale(w_prev_inv - 1) + W(k=1)
                 sx = sx.scale(shift_inv)
@@ -242,7 +242,7 @@ class StarkVerifierCircuit:
         # ---- final degree check (lastIFFT) ----
         last_bits = ss.steps[-1].nBits
         max_deg_bits = last_bits - (ss.nBitsExt - ss.nBits)
-        coeffs = group_intt(p.final_pol)
+        coeffs = group_intt(b, p.final_pol)
         for k in range(1 << max_deg_bits, 1 << last_bits):
             for e in range(3):
                 b.assert_zero(coeffs[k][e])
