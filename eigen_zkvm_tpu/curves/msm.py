@@ -1,0 +1,55 @@
+"""Multi-scalar multiplication (Pippenger bucket method).
+
+Curve-generic over the add/double/zero ops passed in; instantiated for
+BN254/BLS12-381 G1 and G2.  This is the correctness engine; the TPU path
+batches bucket accumulation as vectorized Jacobian adds (see ops/ec_jax.py
+once it lands) — reference analog: bellperson's GPU multiexp
+(groth16/src/groth16.rs cuda/opencl features).
+"""
+from __future__ import annotations
+
+
+def _pippenger(points, scalars, zero, add, double, window: int | None = None):
+    n = len(points)
+    assert n == len(scalars)
+    if n == 0:
+        return zero
+    nbits = max((int(s).bit_length() for s in scalars), default=1) or 1
+    if window is None:
+        window = 3 if n < 32 else max(3, n.bit_length() - 2)
+        window = min(window, 16)
+    n_windows = (nbits + window - 1) // window
+    result = zero
+    for w in range(n_windows - 1, -1, -1):
+        if w != n_windows - 1:
+            for _ in range(window):
+                result = double(result)
+        buckets = [zero] * ((1 << window) - 1)
+        shift = w * window
+        mask = (1 << window) - 1
+        for p, s in zip(points, scalars):
+            idx = (int(s) >> shift) & mask
+            if idx:
+                buckets[idx - 1] = add(buckets[idx - 1], p)
+        running = zero
+        acc = zero
+        for b in range(len(buckets) - 1, -1, -1):
+            running = add(running, buckets[b])
+            acc = add(acc, running)
+        result = add(result, acc)
+    return result
+
+
+def msm_g1(curve, points_affine, scalars):
+    """points: affine pairs (or None); returns affine."""
+    pts = [curve.g1_from_affine(p) for p in points_affine]
+    res = _pippenger(pts, scalars, curve.G1_ZERO, curve.g1_add,
+                     curve.g1_double)
+    return curve.g1_to_affine(res)
+
+
+def msm_g2(curve, points_affine, scalars):
+    pts = [curve.g2_from_affine(p) for p in points_affine]
+    res = _pippenger(pts, scalars, curve.G2_ZERO, curve.g2_add,
+                     curve.g2_double)
+    return curve.g2_to_affine(res)

@@ -1,0 +1,281 @@
+"""Groth16 zkSNARK: circuit-specific setup, prover, verifier.
+
+Reference: groth16/src/groth16.rs (thin wrapper over bellman_ce's
+create_random_proof / verify_proof) and bellman's generator semantics:
+the QAP domain is the constraint rows followed by one input-consistency row
+per public input (A_i = 1 there), domain padded to a power of two.
+
+Curve-generic: `curve` is a module exposing the bn254.py interface
+(curves/bn254.py, curves/bls12_381.py); the scalar field is curve.R.
+
+R1CS constraints are {signal: coef} dict triples with key 0 = the one-wire
+(recursion/circuit.py convention, equal to circom's wire layout
+[1, publics..., privates...]).
+"""
+from __future__ import annotations
+
+import secrets
+from dataclasses import dataclass
+
+from ..curves.msm import msm_g1, msm_g2
+
+
+def _find_root(r: int, m: int) -> int:
+    """Primitive m-th root of unity in F_r (m a power of two)."""
+    two_adic = (r - 1) & -(r - 1)
+    assert m <= two_adic, "domain too large for field 2-adicity"
+    g = 5
+    while pow(g, (r - 1) // 2, r) == 1:
+        g += 1
+    return pow(g, (r - 1) // m, r)
+
+
+def _ntt(vals, w, r):
+    n = len(vals)
+    if n == 1:
+        return list(vals)
+    nbits = n.bit_length() - 1
+    buf = list(vals)
+    # bit reverse
+    j = 0
+    for i in range(1, n):
+        bit = n >> 1
+        while j & bit:
+            j ^= bit
+            bit >>= 1
+        j |= bit
+        if i < j:
+            buf[i], buf[j] = buf[j], buf[i]
+    m = 2
+    while m <= n:
+        wm = pow(w, n // m, r)
+        for k in range(0, n, m):
+            wj = 1
+            for j2 in range(m // 2):
+                t = buf[k + j2 + m // 2] * wj % r
+                u = buf[k + j2]
+                buf[k + j2] = (u + t) % r
+                buf[k + j2 + m // 2] = (u - t) % r
+                wj = wj * wm % r
+        m <<= 1
+    return buf
+
+
+def _intt(vals, w, r):
+    n = len(vals)
+    res = _ntt(vals, pow(w, r - 2, r), r)
+    n_inv = pow(n, r - 2, r)
+    return [x * n_inv % r for x in res]
+
+
+@dataclass
+class ProvingKey:
+    curve_name: str
+    n_public: int          # public wires excluding the one-wire
+    n_vars: int
+    domain_size: int
+    alpha1: tuple
+    beta1: tuple
+    beta2: tuple
+    delta1: tuple
+    delta2: tuple
+    a_query: list          # G1, per wire: A_i(tau)
+    b1_query: list         # G1, per wire: B_i(tau)
+    b2_query: list         # G2, per wire: B_i(tau)
+    l_query: list          # G1, private wires: (beta A + alpha B + C)/delta
+    h_query: list          # G1: tau^i Z(tau)/delta
+
+
+@dataclass
+class VerifyingKey:
+    curve_name: str
+    alpha1: tuple
+    beta2: tuple
+    gamma2: tuple
+    delta2: tuple
+    ic: list               # G1 per public wire (incl. one-wire)
+
+
+@dataclass
+class Proof:
+    a: tuple               # G1 affine
+    b: tuple               # G2 affine
+    c: tuple               # G1 affine
+
+
+def _eval_qap(constraints, n_vars, n_pub_total, tau, r, m):
+    """A_i(tau), B_i(tau), C_i(tau) for every wire, plus Z(tau).
+
+    Rows 0..n_constraints-1 are the constraints; rows n_constraints..+n_pub
+    bind the public wires (A_i = 1 there, bellman's input consistency)."""
+    w = _find_root(r, m)
+    # Lagrange values L_j(tau) = Z(tau) * w^j / (m * (tau - w^j))
+    z_tau = (pow(tau, m, r) - 1) % r
+    lj = []
+    wj = 1
+    m_inv = pow(m, r - 2, r)
+    for j in range(m):
+        denom = pow((tau - wj) % r, r - 2, r)
+        lj.append(z_tau * wj % r * m_inv % r * denom % r)
+        wj = wj * w % r
+    a_t = [0] * n_vars
+    b_t = [0] * n_vars
+    c_t = [0] * n_vars
+    for j, (A, B, C) in enumerate(constraints):
+        for s, coef in A.items():
+            a_t[s] = (a_t[s] + coef * lj[j]) % r
+        for s, coef in B.items():
+            b_t[s] = (b_t[s] + coef * lj[j]) % r
+        for s, coef in C.items():
+            c_t[s] = (c_t[s] + coef * lj[j]) % r
+    nc = len(constraints)
+    for i in range(n_pub_total):
+        a_t[i] = (a_t[i] + lj[nc + i]) % r
+    return a_t, b_t, c_t, z_tau
+
+
+def setup(curve, constraints, n_vars: int, n_publics: int,
+          rng=None) -> tuple[ProvingKey, VerifyingKey]:
+    """Circuit-specific trusted setup (groth16/src/api.rs groth16_setup;
+    bellman generate_random_parameters)."""
+    r = curve.R
+    rand = rng or (lambda: secrets.randbelow(r - 1) + 1)
+    alpha, beta, gamma, delta, tau = (rand() for _ in range(5))
+    n_pub_total = n_publics + 1  # one-wire is public
+    m = 1
+    while m < len(constraints) + n_pub_total:
+        m <<= 1
+    a_t, b_t, c_t, z_tau = _eval_qap(constraints, n_vars, n_pub_total,
+                                     tau, r, m)
+
+    g1 = curve.g1_from_affine(curve.G1_GEN)
+    g2 = curve.g2_from_affine(curve.G2_GEN)
+
+    def G1(k):
+        return curve.g1_to_affine(curve.g1_mul(g1, k % r))
+
+    def G2(k):
+        return curve.g2_to_affine(curve.g2_mul(g2, k % r))
+
+    delta_inv = pow(delta, r - 2, r)
+    gamma_inv = pow(gamma, r - 2, r)
+
+    a_query = [G1(a_t[i]) for i in range(n_vars)]
+    b1_query = [G1(b_t[i]) for i in range(n_vars)]
+    b2_query = [G2(b_t[i]) for i in range(n_vars)]
+    ic = [G1((beta * a_t[i] + alpha * b_t[i] + c_t[i]) * gamma_inv)
+          for i in range(n_pub_total)]
+    l_query = [G1((beta * a_t[i] + alpha * b_t[i] + c_t[i]) * delta_inv)
+               for i in range(n_pub_total, n_vars)]
+    h_query = [G1(pow(tau, i, r) * z_tau % r * delta_inv)
+               for i in range(m - 1)]
+
+    pk = ProvingKey(
+        curve_name=getattr(curve, "NAME", "bn128"), n_public=n_publics,
+        n_vars=n_vars, domain_size=m,
+        alpha1=G1(alpha), beta1=G1(beta), beta2=G2(beta),
+        delta1=G1(delta), delta2=G2(delta),
+        a_query=a_query, b1_query=b1_query, b2_query=b2_query,
+        l_query=l_query, h_query=h_query)
+    vk = VerifyingKey(
+        curve_name=pk.curve_name, alpha1=pk.alpha1, beta2=pk.beta2,
+        gamma2=G2(gamma), delta2=pk.delta2, ic=ic)
+    return pk, vk
+
+
+def _witness_h(curve, constraints, witness, n_pub_total, m):
+    """Coefficients of H = (A*B - C)/Z via coset NTTs over F_r."""
+    r = curve.R
+    w = _find_root(r, m)
+    az = [0] * m
+    bz = [0] * m
+    cz = [0] * m
+    for j, (A, B, C) in enumerate(constraints):
+        az[j] = sum(witness[s] * c for s, c in A.items()) % r
+        bz[j] = sum(witness[s] * c for s, c in B.items()) % r
+        cz[j] = sum(witness[s] * c for s, c in C.items()) % r
+    nc = len(constraints)
+    for i in range(n_pub_total):
+        az[nc + i] = witness[i] % r
+
+    shift = 5  # any non-subgroup element works as the coset shift
+    def to_coset(evals):
+        coeffs = _intt(evals, w, r)
+        sp = 1
+        out = []
+        for cfe in coeffs:
+            out.append(cfe * sp % r)
+            sp = sp * shift % r
+        return _ntt(out, w, r)
+
+    ac = to_coset(az)
+    bc = to_coset(bz)
+    cc = to_coset(cz)
+    z_coset_inv = pow((pow(shift, m, r) - 1) % r, r - 2, r)
+    hc = [(a * b - c) % r * z_coset_inv % r for a, b, c in zip(ac, bc, cc)]
+    coeffs = _intt(hc, w, r)
+    shift_inv = pow(shift, r - 2, r)
+    sp = 1
+    out = []
+    for cfe in coeffs:
+        out.append(cfe * sp % r)
+        sp = sp * shift_inv % r
+    assert out[m - 1] == 0, "H degree overflow"
+    return out[: m - 1]
+
+
+def prove(curve, pk: ProvingKey, constraints, witness,
+          rng=None) -> tuple[Proof, list]:
+    """bellman create_random_proof equivalent; returns (proof, publics)."""
+    r = curve.R
+    rand = rng or (lambda: secrets.randbelow(r))
+    rr, ss = rand(), rand()
+    witness = [int(x) % r for x in witness]
+    n_pub_total = pk.n_public + 1
+    h = _witness_h(curve, constraints, witness, n_pub_total, pk.domain_size)
+
+    g1 = curve.g1_from_affine
+    # A = alpha + sum w_i A_i + r*delta
+    a_acc = msm_g1(curve, pk.a_query, witness)
+    A = curve.g1_add(curve.g1_add(g1(a_acc), g1(pk.alpha1)),
+                     curve.g1_mul(g1(pk.delta1), rr))
+    # B (G2) and its G1 shadow
+    b2_acc = msm_g2(curve, pk.b2_query, witness)
+    B = curve.g2_add(curve.g2_add(curve.g2_from_affine(b2_acc),
+                                  curve.g2_from_affine(pk.beta2)),
+                     curve.g2_mul(curve.g2_from_affine(curve.G2_GEN), 0))
+    B = curve.g2_add(B, curve.g2_mul(curve.g2_from_affine(pk.delta2), ss))
+    b1_acc = msm_g1(curve, pk.b1_query, witness)
+    B1 = curve.g1_add(curve.g1_add(g1(b1_acc), g1(pk.beta1)),
+                      curve.g1_mul(g1(pk.delta1), ss))
+    # C = sum_priv w_i L_i + H(tau)Z/delta + s*A + r*B1 - r*s*delta
+    l_acc = msm_g1(curve, pk.l_query, witness[n_pub_total:])
+    h_acc = msm_g1(curve, pk.h_query, h)
+    C = curve.g1_add(g1(l_acc), g1(h_acc))
+    C = curve.g1_add(C, curve.g1_mul(A, ss))
+    C = curve.g1_add(C, curve.g1_mul(B1, rr))
+    C = curve.g1_add(C, curve.g1_neg(
+        curve.g1_mul(g1(pk.delta1), rr * ss % r)))
+
+    proof = Proof(a=curve.g1_to_affine(A), b=curve.g2_to_affine(B),
+                  c=curve.g1_to_affine(C))
+    return proof, witness[1:n_pub_total]
+
+
+def verify(curve, vk: VerifyingKey, proof: Proof, publics) -> bool:
+    """e(A, B) == e(alpha, beta) * e(IC(pub), gamma) * e(C, delta)."""
+    r = curve.R
+    publics = [int(x) % r for x in publics]
+    if len(publics) + 1 != len(vk.ic):
+        return False
+    acc = curve.g1_from_affine(vk.ic[0])
+    for w, pt in zip(publics, vk.ic[1:]):
+        acc = curve.g1_add(acc, curve.g1_mul(curve.g1_from_affine(pt), w))
+    ic = curve.g1_to_affine(acc)
+    neg = lambda p: (p[0], (-p[1]) % curve.P) if p else None
+    return curve.multi_pairing([
+        (proof.a, proof.b),
+        (neg(vk.alpha1), vk.beta2),
+        (neg(ic), vk.gamma2),
+        (neg(proof.c), vk.delta2),
+    ])

@@ -45,44 +45,61 @@ def _poseidon_tables():
     return _CPOSEIDON, _MDS
 
 
-class W:
-    """A wire: linear combination of signals plus a constant, mod P."""
+class WBase:
+    """A wire: linear combination of signals plus a constant, mod class P."""
 
     __slots__ = ("lc", "k")
+    P = None  # set on subclasses via wire_class()
 
     def __init__(self, lc=None, k=0):
         self.lc = lc or {}
-        self.k = k % P
+        self.k = k % self.P
 
     @property
     def is_const(self):
         return not self.lc
 
     def __add__(self, o):
+        cls = type(self)
         if isinstance(o, int):
-            return W(dict(self.lc), self.k + o)
+            return cls(dict(self.lc), self.k + o)
         lc = dict(self.lc)
         for s, c in o.lc.items():
-            nc = (lc.get(s, 0) + c) % P
+            nc = (lc.get(s, 0) + c) % self.P
             if nc:
                 lc[s] = nc
             elif s in lc:
                 del lc[s]
-        return W(lc, self.k + o.k)
+        return cls(lc, self.k + o.k)
 
     def __sub__(self, o):
         if isinstance(o, int):
-            return W(dict(self.lc), self.k - o)
-        return self + o.scale(P - 1)
+            return type(self)(dict(self.lc), self.k - o)
+        return self + o.scale(self.P - 1)
 
     def scale(self, c: int):
-        c %= P
+        cls = type(self)
+        c %= self.P
         if c == 0:
-            return W()
-        return W({s: (v * c) % P for s, v in self.lc.items()}, self.k * c)
+            return cls()
+        return cls({s: (v * c) % self.P for s, v in self.lc.items()},
+                   self.k * c)
 
     def __repr__(self):
         return f"W({self.lc}, {self.k})"
+
+
+_wire_classes: dict = {}
+
+
+def wire_class(prime: int):
+    if prime not in _wire_classes:
+        _wire_classes[prime] = type(f"W_{prime % 997}", (WBase,),
+                                    {"P": prime, "__slots__": ()})
+    return _wire_classes[prime]
+
+
+W = wire_class(P)  # Goldilocks wires (the recursion layers' native field)
 
 
 ZERO3 = None  # set below after W defined
@@ -100,7 +117,9 @@ class CircuitBuilder:
     per-proof "exec" phase of the compressor pipeline.
     """
 
-    def __init__(self, record=True):
+    def __init__(self, record=True, prime: int = P):
+        self.P = prime
+        self.W = wire_class(prime)
         self.w = [1]           # witness values; signal 0 == 1
         self.record = record
         self.constraints = []  # (A, B, C) dicts sig->coef; A*B - C == 0
@@ -111,7 +130,7 @@ class CircuitBuilder:
 
     # ---- signals ----
     def sig(self, value: int) -> int:
-        self.w.append(value % P)
+        self.w.append(value % self.P)
         return len(self.w) - 1
 
     def public(self, value: int) -> W:
@@ -119,17 +138,17 @@ class CircuitBuilder:
         assert len(self.w) == self.n_publics + 1, "publics must come first"
         s = self.sig(value)
         self.n_publics += 1
-        return W({s: 1})
+        return self.W({s: 1})
 
-    def wire(self, sid: int) -> W:
-        return W({sid: 1})
+    def wire(self, sid: int):
+        return self.W({sid: 1})
 
     # ---- evaluation ----
     def val(self, a: W) -> int:
         v = a.k
         for s, c in a.lc.items():
             v += self.w[s] * c
-        return v % P
+        return v % self.P
 
     # ---- constraints ----
     def _constraint(self, A: W, B: W, C: W):
@@ -156,7 +175,8 @@ class CircuitBuilder:
         if hit is not None:
             return hit
         s = self.sig(self.val(a))
-        self._constraint(W(), W(), a - W({s: 1}))
+        Wc = self.W
+        self._constraint(Wc(), Wc(), a - Wc({s: 1}))
         self._mat_cache[key] = s
         return s
 
@@ -166,22 +186,22 @@ class CircuitBuilder:
         if b.is_const:
             return a.scale(b.k)
         s = self.sig(self.val(a) * self.val(b))
-        self._constraint(a, b, W({s: 1}))
-        return W({s: 1})
+        self._constraint(a, b, self.W({s: 1}))
+        return self.W({s: 1})
 
     def assert_zero(self, a: W):
         assert self.val(a) == 0, "constraint violated at build time"
         if not a.is_const:
-            self._constraint(W(), W(), a)
+            self._constraint(self.W(), self.W(), a)
 
     def assert_eq(self, a: W, b: W):
         self.assert_zero(a - b)
 
     def inv(self, a: W) -> W:
         v = self.val(a)
-        s = self.sig(pow(v, P - 2, P))
-        out = W({s: 1})
-        self._constraint(a, out, W(k=1))
+        s = self.sig(pow(v, self.P - 2, self.P))
+        out = self.W({s: 1})
+        self._constraint(a, out, self.W(k=1))
         return out
 
     def bits(self, a: W, n: int = 64, strict: bool = True) -> list[W]:
@@ -191,22 +211,23 @@ class CircuitBuilder:
         strict check uses P = 2^64 - 2^32 + 1: value >= P iff the top 32
         bits are all ones and the low 32 bits are nonzero.
         """
+        Wc = self.W
         v = self.val(a)
         assert v < (1 << n)
         bs = []
-        acc = W()
+        acc = Wc()
         for i in range(n):
             s = self.sig((v >> i) & 1)
-            b = W({s: 1})
-            self._constraint(b, b - W(k=1), W())  # b*(b-1) == 0
+            b = Wc({s: 1})
+            self._constraint(b, b - Wc(k=1), Wc())  # b*(b-1) == 0
             bs.append(b)
             acc = acc + b.scale(1 << i)
         self.assert_eq(acc, a)
-        if strict and n == 64:
+        if strict and n == 64 and self.P == P:
             hi = bs[32]
             for i in range(33, 64):
                 hi = self.mul(hi, bs[i])
-            lo = W()
+            lo = Wc()
             for i in range(32):
                 lo = lo + bs[i].scale(1 << i)
             self.assert_zero(self.mul(hi, lo))
@@ -306,11 +327,13 @@ class CircuitBuilder:
         embedded witness."""
         from ..fields import f3g
 
+        pr = self.P
+
         def ev(d):
-            return sum(self.w[s] * c for s, c in d.items()) % P
+            return sum(self.w[s] * c for s, c in d.items()) % pr
 
         for A, B, C in self.constraints:
-            if (ev(A) * ev(B) - ev(C)) % P != 0:
+            if (ev(A) * ev(B) - ev(C)) % pr != 0:
                 return False
         CP, MDS = _poseidon_tables()
 
