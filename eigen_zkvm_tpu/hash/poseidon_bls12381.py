@@ -11,6 +11,8 @@ N_ROUNDS_P = [55, 55, 56, 56, 56, 56, 57, 57, 57, 57, 57, 57, 57, 57, 59, 59]
 
 _inst = PoseidonBig(P, "poseidon_bls12381_opt.npz", N_ROUNDS_P)
 
+POSEIDON = _inst
+tables = _inst.tables
 hash_ex = _inst.hash_ex
 
 

@@ -26,3 +26,7 @@ REFERENCE_DATA = "/root/reference/starky/data"
 
 def reference_fixture(name: str) -> str:
     return os.path.join(REFERENCE_DATA, name)
+
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running end-to-end tests")
