@@ -2,15 +2,23 @@
 
 Usage: python -m eigen_zkvm_tpu.cli <command> [options]
 
-Commands land as their layers are built; currently:
-  stark_prove   prove a PIL trace (GL), self-verify, write zkin.json/circom
-  stark_verify  verify a zkin.json proof against PIL + starkStruct + const
-  join_zkin     merge two recursive1 zkin inputs for aggregation
+Commands (mirroring the reference CLI):
+  stark_prove         prove a PIL trace, self-verify, write zkin.json/.circom
+  stark_verify        verify a zkin.json proof against PIL + struct + const
+  compressor12_setup  verifier circuit (zkin or .r1cs) -> .pil.json/.const/.exec
+  compressor12_exec   witness pass -> .cm commit file
+  join_zkin           merge two recursive zkin inputs for aggregation
+  groth16_setup       circuit-specific SNARK setup -> pk/vk json
+  groth16_prove       SNARK proof of the final on-chain circuit
+  groth16_verify      verify a SNARK proof json
+  generate_verifier   render the Solidity verifier from a vk json
+  compile             (native) no circom toolchain needed — see help text
 """
 from __future__ import annotations
 
 import argparse
 import json
+import pickle
 import sys
 import time
 
@@ -56,6 +64,193 @@ def _cmd_join_zkin(args):
     print(f"join_zkin -> {args.zkinout}")
 
 
+def _load_setup_bundle(path):
+    with open(path, "rb") as f:
+        return pickle.load(f)
+
+
+def _cmd_compressor12_setup(args):
+    """Native compressor setup.  Input is either a verifier-circuit spec
+    (inner zkin + inner PIL artifacts, replacing the circom .r1cs path) or
+    a circom .r1cs file with custom gates."""
+    import numpy as np
+
+    from .recursion.compressor12 import (StarkOption, compressor12_setup,
+                                         write_exec_file)
+    from .recursion.plonk_setup import PlonkSetup
+    from .stark.polsarray import PolsArray
+    from .stark.stark_setup import StarkSetup
+    from .stark.types import load_pil, load_starkstruct
+
+    if args.r1cs:
+        from .algebraic.r1cs_file import load_r1cs, r1cs_to_circuit_inputs
+
+        r1cs = load_r1cs(args.r1cs)
+        constraints, gates, n_vars, n_pub = r1cs_to_circuit_inputs(r1cs)
+
+        class _C:  # static circuit shape (no witness)
+            pass
+
+        c = _C()
+        c.constraints = constraints
+        c.custom_gates = gates
+        c.n_vars = n_vars
+        c.n_publics = n_pub
+        psetup = PlonkSetup(c, force_n_bits=args.force_n_bits)
+    else:
+        inner_pil = load_pil(args.inner_pil)
+        inner_ss = load_starkstruct(args.inner_struct)
+        const_pols = PolsArray(inner_pil, PolsArray.CONSTANT).load(
+            args.inner_const)
+        setup = StarkSetup(const_pols, inner_pil, inner_ss)
+        with open(args.input) as f:
+            zkin = json.load(f)
+        opt = StarkOption(verkey_input=args.norm_stage,
+                          agg_stage=args.agg_stage,
+                          skip_main=args.skip_main)
+        _, psetup = compressor12_setup(zkin, setup, inner_ss, opt,
+                                       force_n_bits=args.force_n_bits)
+        with open(args.pil + ".setup.pkl", "wb") as f:
+            pickle.dump((setup, inner_ss, opt), f)
+
+    import dataclasses
+    from .stark.types import PIL
+
+    with open(args.pil, "w") as f:
+        json.dump(_pil_to_json(psetup.pil), f)
+    psetup.const_pols.save(args.const)
+    write_exec_file(args.exec, psetup)
+    with open(args.exec + ".psetup.pkl", "wb") as f:
+        pickle.dump(psetup, f)
+    print(f"compressor12_setup -> {args.pil} / {args.const} / {args.exec} "
+          f"(n_bits={psetup.n_bits}, n_used={psetup.n_used})")
+
+
+def _pil_to_json(pil):
+    def expr(e):
+        d = {"op": e.op, "deg": e.deg}
+        if e.id is not None:
+            d["id"] = e.id
+        if e.next is not None:
+            d["next"] = bool(e.next)
+        if e.value is not None:
+            d["value"] = e.value
+        if e.values is not None:
+            d["values"] = [expr(v) for v in e.values]
+        if e.idQ is not None:
+            d["idQ"] = e.idQ
+        if e.keep is not None:
+            d["keep"] = e.keep
+        return d
+
+    refs = {}
+    for k, v in pil.references.items():
+        r = {"type": v.type_, "id": v.id, "polDeg": v.polDeg,
+             "isArray": v.isArray}
+        if v.isArray:
+            r["len"] = v.len
+        refs[k] = r
+    return {
+        "nCommitments": pil.nCommitments, "nQ": pil.nQ, "nIm": pil.nIm,
+        "nConstants": pil.nConstants,
+        "publics": [{"polType": p.polType, "polId": p.polId, "idx": p.idx,
+                     "id": p.id, "name": p.name} for p in pil.publics],
+        "references": refs,
+        "expressions": [expr(e) for e in pil.expressions],
+        "polIdentities": [{"e": p.e, "fileName": p.fileName, "line": p.line}
+                          for p in pil.polIdentities],
+        "plookupIdentities": [],
+        "permutationIdentities": [],
+        "connectionIdentities": [
+            {"pols": c.pols, "connections": c.connections,
+             "fileName": c.fileName, "line": c.line}
+            for c in pil.connectionIdentities],
+    }
+
+
+def _cmd_compressor12_exec(args):
+    from .recursion.compressor12 import compressor12_exec
+
+    with open(args.exec + ".psetup.pkl", "rb") as f:
+        psetup = pickle.load(f)
+    with open(args.pil + ".setup.pkl", "rb") as f:
+        setup, inner_ss, opt = pickle.load(f)
+    with open(args.input) as f:
+        zkin = json.load(f)
+    cm = compressor12_exec(zkin, setup, inner_ss, opt, psetup)
+    cm.save(args.commit)
+    print(f"compressor12_exec -> {args.commit}")
+
+
+def _cmd_groth16_setup(args):
+    from .groth16 import groth16 as core
+    from .groth16.api import _curve, vk_to_json
+
+    with open(args.circuit, "rb") as f:
+        circuit = pickle.load(f)
+    curve, cname = _curve(args.curve_type)
+    pk, vk = core.setup(curve, circuit.constraints, circuit.n_vars,
+                        circuit.n_publics)
+    with open(args.pk, "wb") as f:
+        pickle.dump(pk, f)
+    with open(args.vk, "w") as f:
+        f.write(vk_to_json(vk, to_hex=args.to_hex))
+    print(f"groth16_setup -> {args.pk} / {args.vk}")
+
+
+def _cmd_groth16_prove(args):
+    from .groth16 import groth16 as core
+    from .groth16.api import _curve, proof_to_json, publics_to_json
+
+    with open(args.circuit, "rb") as f:
+        circuit = pickle.load(f)
+    with open(args.pk, "rb") as f:
+        pk = pickle.load(f)
+    curve, cname = _curve(args.curve_type)
+    proof, publics = core.prove(curve, pk, circuit.constraints, circuit.w)
+    with open(args.proof, "w") as f:
+        f.write(proof_to_json(proof, cname, to_hex=args.to_hex))
+    with open(args.public_input, "w") as f:
+        f.write(publics_to_json(publics))
+    print(f"groth16_prove -> {args.proof} / {args.public_input}")
+
+
+def _cmd_groth16_verify(args):
+    from .groth16 import groth16 as core
+    from .groth16.api import (_curve, proof_from_json, publics_from_json,
+                              vk_from_json)
+
+    curve, _ = _curve(args.curve_type)
+    with open(args.vk) as f:
+        vk = vk_from_json(f.read())
+    with open(args.proof) as f:
+        proof = proof_from_json(f.read())
+    with open(args.public_input) as f:
+        publics = publics_from_json(f.read())
+    ok = core.verify(curve, vk, proof, publics)
+    print("groth16_verify:", "OK" if ok else "FAILED")
+    sys.exit(0 if ok else 1)
+
+
+def _cmd_generate_verifier(args):
+    from .groth16.api import generate_verifier
+
+    generate_verifier(args.vk, args.sol)
+    print(f"generate_verifier -> {args.sol}")
+
+
+def _cmd_compile(args):
+    print("""This framework builds verifier circuits natively — there is no
+circom compilation step.  The equivalents are:
+  - recursion layers: compressor12_setup/compressor12_exec consume the
+    inner proof's zkin + PIL artifacts directly (or a circom .r1cs with
+    custom gates, for interop with externally compiled circuits)
+  - on-chain layer:   the BN254 circuit is built by
+    eigen_zkvm_tpu.recursion.stark_verifier_circuit_bn.build_final_main
+  - circom text (for the external toolchain) is still emitted by
+    stark_prove via --circom (stark/pil2circom.py)""")
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(prog="eigen-zkit", description=__doc__)
     sub = ap.add_subparsers(dest="command", required=True)
@@ -69,7 +264,7 @@ def main(argv=None):
     p.add_argument("--circom", help="verifier .circom output")
     p.add_argument("--prover_addr", default="")
     p.add_argument("--agg_stage", action="store_true")
-    p.add_argument("--norm_stage", action="store_true", default=True)
+    p.add_argument("--norm_stage", action="store_true")
     p.add_argument("--skip_main", action="store_true")
     p.set_defaults(func=_cmd_stark_prove)
 
@@ -80,11 +275,66 @@ def main(argv=None):
     p.add_argument("--proof", "-f", required=True)
     p.set_defaults(func=_cmd_stark_verify)
 
+    p = sub.add_parser("compressor12_setup",
+                       help="build the c12 trace layout for a verifier circuit")
+    p.add_argument("--r1cs", "-r", help="circom .r1cs input (interop path)")
+    p.add_argument("--input", "-i", help="inner proof zkin.json (native path)")
+    p.add_argument("--inner_pil", help="inner PIL json (native path)")
+    p.add_argument("--inner_struct", help="inner starkStruct (native path)")
+    p.add_argument("--inner_const", help="inner .const (native path)")
+    p.add_argument("--pil", "-p", required=True, help="output c12 .pil.json")
+    p.add_argument("--const", "-c", required=True, help="output .const")
+    p.add_argument("--exec", "-e", required=True, help="output .exec")
+    p.add_argument("--force_n_bits", "--force-n-bits", type=int, default=0)
+    p.add_argument("--norm_stage", action="store_true")
+    p.add_argument("--agg_stage", action="store_true")
+    p.add_argument("--skip_main", action="store_true")
+    p.set_defaults(func=_cmd_compressor12_setup)
+
+    p = sub.add_parser("compressor12_exec", help="witness pass -> .cm")
+    p.add_argument("--input", "-i", required=True, help="zkin.json")
+    p.add_argument("--pil", "-p", required=True)
+    p.add_argument("--exec", "-e", required=True)
+    p.add_argument("--commit", "-m", required=True, help="output .cm")
+    p.set_defaults(func=_cmd_compressor12_exec)
+
     p = sub.add_parser("join_zkin", help="merge two zkin inputs")
     p.add_argument("--zkin1", required=True)
     p.add_argument("--zkin2", required=True)
     p.add_argument("--zkinout", required=True)
     p.set_defaults(func=_cmd_join_zkin)
+
+    p = sub.add_parser("groth16_setup")
+    p.add_argument("--curve_type", default="BN128")
+    p.add_argument("--circuit", required=True, help="pickled circuit")
+    p.add_argument("--pk", required=True)
+    p.add_argument("--vk", required=True)
+    p.add_argument("--to_hex", action="store_true")
+    p.set_defaults(func=_cmd_groth16_setup)
+
+    p = sub.add_parser("groth16_prove")
+    p.add_argument("--curve_type", default="BN128")
+    p.add_argument("--circuit", required=True, help="pickled circuit")
+    p.add_argument("--pk", required=True)
+    p.add_argument("--proof", required=True)
+    p.add_argument("--public_input", required=True)
+    p.add_argument("--to_hex", action="store_true")
+    p.set_defaults(func=_cmd_groth16_prove)
+
+    p = sub.add_parser("groth16_verify")
+    p.add_argument("--curve_type", default="BN128")
+    p.add_argument("--vk", required=True)
+    p.add_argument("--proof", required=True)
+    p.add_argument("--public_input", required=True)
+    p.set_defaults(func=_cmd_groth16_verify)
+
+    p = sub.add_parser("generate_verifier")
+    p.add_argument("--vk", required=True)
+    p.add_argument("--sol", required=True)
+    p.set_defaults(func=_cmd_generate_verifier)
+
+    p = sub.add_parser("compile", help="(native) circuit-building notes")
+    p.set_defaults(func=_cmd_compile)
 
     args = ap.parse_args(argv)
     args.func(args)

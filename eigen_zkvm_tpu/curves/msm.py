@@ -40,6 +40,45 @@ def _pippenger(points, scalars, zero, add, double, window: int | None = None):
     return result
 
 
+class FixedBase:
+    """Windowed fixed-base scalar multiplication (precomputed table)."""
+
+    def __init__(self, zero, add, double, base, nbits: int, window: int = 8):
+        self.zero = zero
+        self.add = add
+        self.window = window
+        n_windows = (nbits + window - 1) // window
+        self.tables = []
+        cur = base  # base * 2^(window*t)
+        for _ in range(n_windows):
+            row = [zero]
+            for _i in range(1, 1 << window):
+                row.append(add(row[-1], cur))
+            self.tables.append(row)
+            # next window base: 2^window * cur = row[-1] + cur
+            cur = add(row[-1], cur)
+
+    def mul(self, k: int):
+        res = self.zero
+        for t, row in enumerate(self.tables):
+            idx = (k >> (t * self.window)) & ((1 << self.window) - 1)
+            if idx:
+                res = self.add(res, row[idx])
+        return res
+
+
+def g1_fixed_base(curve, window: int = 8) -> FixedBase:
+    return FixedBase(curve.G1_ZERO, curve.g1_add, curve.g1_double,
+                     curve.g1_from_affine(curve.G1_GEN),
+                     curve.R.bit_length(), window)
+
+
+def g2_fixed_base(curve, window: int = 8) -> FixedBase:
+    return FixedBase(curve.G2_ZERO, curve.g2_add, curve.g2_double,
+                     curve.g2_from_affine(curve.G2_GEN),
+                     curve.R.bit_length(), window)
+
+
 def msm_g1(curve, points_affine, scalars):
     """points: affine pairs (or None); returns affine."""
     pts = [curve.g1_from_affine(p) for p in points_affine]

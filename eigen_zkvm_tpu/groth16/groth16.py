@@ -148,14 +148,15 @@ def setup(curve, constraints, n_vars: int, n_publics: int,
     a_t, b_t, c_t, z_tau = _eval_qap(constraints, n_vars, n_pub_total,
                                      tau, r, m)
 
-    g1 = curve.g1_from_affine(curve.G1_GEN)
-    g2 = curve.g2_from_affine(curve.G2_GEN)
+    from ..curves.msm import g1_fixed_base, g2_fixed_base
+    fb1 = g1_fixed_base(curve)
+    fb2 = g2_fixed_base(curve)
 
     def G1(k):
-        return curve.g1_to_affine(curve.g1_mul(g1, k % r))
+        return curve.g1_to_affine(fb1.mul(k % r))
 
     def G2(k):
-        return curve.g2_to_affine(curve.g2_mul(g2, k % r))
+        return curve.g2_to_affine(fb2.mul(k % r))
 
     delta_inv = pow(delta, r - 2, r)
     gamma_inv = pow(gamma, r - 2, r)

@@ -96,7 +96,7 @@ def read_exec_file(path: str):
 
 def prove_compressed(zkin: dict, inner_setup, inner_ss, options: StarkOption,
                      c12_ss: StarkStruct | None = None, force_n_bits: int = 0,
-                     out_options: StarkOption | None = None):
+                     n_queries: int = 8):
     """One full recursion layer: verify `zkin` in-circuit, prove the c12
     trace.  Returns (proof, c12_setup_bundle) where the bundle carries
     everything the *next* layer needs."""
@@ -108,7 +108,7 @@ def prove_compressed(zkin: dict, inner_setup, inner_ss, options: StarkOption,
                                          force_n_bits=force_n_bits)
     cm_pols = exec_witness(circuit, psetup)
     if c12_ss is None:
-        c12_ss = default_compressor_struct(psetup.n_bits)
+        c12_ss = default_compressor_struct(psetup.n_bits, n_queries)
     assert c12_ss.nBits == psetup.n_bits, (c12_ss.nBits, psetup.n_bits)
     st_setup = StarkSetup(psetup.const_pols, psetup.pil, c12_ss)
     proof = stark_gen(cm_pols, psetup.const_pols, st_setup.const_tree,
