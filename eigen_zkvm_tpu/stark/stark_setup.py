@@ -4,6 +4,8 @@
 """
 from __future__ import annotations
 
+import copy
+
 import numpy as np
 
 from ..poly import ntt
@@ -20,6 +22,8 @@ class StarkSetup:
         self.const_tree = merkle_cls().merkelize(
             lde, const_pols.nPols, 1 << stark_struct.nBitsExt)
         self.const_root = self.const_tree.root()
-        si = StarkInfo(pil, stark_struct, global_l1)
+        # starkinfo mutates the PIL (adds im/q commitments, idQ tags);
+        # compile a private copy so the caller's PIL stays reusable
+        si = StarkInfo(copy.deepcopy(pil), stark_struct, global_l1)
         self.starkinfo = si
         self.program: Program = si.program

@@ -1,0 +1,307 @@
+"""MiniRV arithmetization: machine PIL + trace generation.
+
+The zkVM's constraint system, built on the PIL authoring API
+(stark/pil_builder.py) and proven by the standard eSTARK pipeline — the
+native replacement for the reference's powdr-generated machine PIL
+(zkvm/src/lib.rs compile_rust/Pipeline).
+
+Design (one row per cycle):
+  - full register file as 16 committed columns; writes via ROM-provided
+    one-hot selectors
+  - instruction fetch as a wide plookup of the decoded fields against a
+    constant ROM table keyed by pc
+  - 32-bit semantics via byte-decomposition plookups into a cyclic BYTE
+    table (add/sub carries, mul high word, unsigned-compare borrow)
+  - read-only input tape as a (counter, value) plookup — the reference's
+    prover-input channel (powdr bootloader data) analog
+  - chunk-boundary state (pc, registers, tape position) exposed as publics
+    at the first/last row for continuations
+"""
+from __future__ import annotations
+
+import numpy as np
+
+from ..fields import gl64 as gl
+from ..stark.pil_builder import PilBuilder
+from ..stark.polsarray import PolsArray
+from .isa import Instr, N_REGS, OPS, WORD
+
+SEL_OPS = OPS  # one selector column per op
+
+
+class MiniRVMachine:
+    """PIL + constant pols for a fixed (program, tape-capacity) pair."""
+
+    def __init__(self, program: list[Instr], n_bits: int = 12,
+                 tape_size: int | None = None):
+        self.program = program
+        self.n_bits = n_bits
+        self.N = 1 << n_bits
+        assert len(program) <= self.N
+        self.tape_size = tape_size if tape_size is not None else self.N // 4
+        self._build_pil()
+
+    def _build_pil(self):
+        p = PilBuilder(self.n_bits)
+        self.p = p
+        N = self.N
+
+        # constants
+        self.c_l1 = p.const_pol("Global.L1")
+        self.c_llast = p.const_pol("Zkvm.LLAST")
+        self.c_byte = p.const_pol("Zkvm.BYTE")
+        self.c_rom_on = p.const_pol("Zkvm.ROM_ON")
+        self.c_rom_pc = p.const_pol("Zkvm.ROM_PC")
+        self.c_rom_sel = p.const_pol("Zkvm.ROM_SEL", len(SEL_OPS))
+        self.c_rom_imm = p.const_pol("Zkvm.ROM_IMM")
+        self.c_rom_rd = p.const_pol("Zkvm.ROM_RD", N_REGS)
+        self.c_rom_rs1 = p.const_pol("Zkvm.ROM_RS1", N_REGS)
+        self.c_rom_rs2 = p.const_pol("Zkvm.ROM_RS2", N_REGS)
+        self.c_tape_on = p.const_pol("Zkvm.TAPE_ON")
+        self.c_tape_idx = p.const_pol("Zkvm.TAPE_IDX")
+        self.c_tape_val = p.const_pol("Zkvm.TAPE_VAL")
+
+        # commits
+        self.m_pc = p.cm_pol("Zkvm.pc")
+        self.m_x = p.cm_pol("Zkvm.x", N_REGS)
+        self.m_sel = p.cm_pol("Zkvm.sel", len(SEL_OPS))
+        self.m_imm = p.cm_pol("Zkvm.imm")
+        self.m_rd1h = p.cm_pol("Zkvm.rd1h", N_REGS)
+        self.m_rs11h = p.cm_pol("Zkvm.rs11h", N_REGS)
+        self.m_rs21h = p.cm_pol("Zkvm.rs21h", N_REGS)
+        self.m_rs1v = p.cm_pol("Zkvm.rs1v")
+        self.m_rs2v = p.cm_pol("Zkvm.rs2v")
+        self.m_rdv = p.cm_pol("Zkvm.rdv")
+        self.m_carry = p.cm_pol("Zkvm.carry")
+        self.m_hi = p.cm_pol("Zkvm.hi")
+        self.m_iz = p.cm_pol("Zkvm.iz")
+        self.m_dinv = p.cm_pol("Zkvm.dinv")
+        self.m_lt = p.cm_pol("Zkvm.lt")
+        self.m_inidx = p.cm_pol("Zkvm.in_idx")
+        self.m_bytes_rd = p.cm_pol("Zkvm.bytes_rd", 4)
+        self.m_bytes_hi = p.cm_pol("Zkvm.bytes_hi", 4)
+        self.m_bytes_lt = p.cm_pol("Zkvm.bytes_lt", 4)
+
+        sel = {op: p.cm(self.m_sel + i) for i, op in enumerate(SEL_OPS)}
+        cm, const, num = p.cm, p.const, p.num
+        x = [cm(self.m_x + i) for i in range(N_REGS)]
+        xp = [cm(self.m_x + i, True) for i in range(N_REGS)]
+        pc, pcp = cm(self.m_pc), cm(self.m_pc, True)
+        rs1v, rs2v, rdv = cm(self.m_rs1v), cm(self.m_rs2v), cm(self.m_rdv)
+        imm = cm(self.m_imm)
+        llast = const(self.c_llast)
+        not_last = p.sub(num(1), llast)
+        W32 = 1 << 32
+
+        # fetch plookup: decoded fields must match the ROM row at pc
+        f = [pc] + [sel[o] for o in SEL_OPS] + [imm]
+        t = [const(self.c_rom_pc)] + \
+            [const(self.c_rom_sel + i) for i in range(len(SEL_OPS))] + \
+            [const(self.c_rom_imm)]
+        for base_c, base_m in ((self.c_rom_rd, self.m_rd1h),
+                               (self.c_rom_rs1, self.m_rs11h),
+                               (self.c_rom_rs2, self.m_rs21h)):
+            f += [cm(base_m + i) for i in range(N_REGS)]
+            t += [const(base_c + i) for i in range(N_REGS)]
+        p.plookup(f=f, t=t, sel_f=None, sel_t=const(self.c_rom_on),
+                  file_name="zkvm.pil", line=1)
+
+        # operand binding: rs1v = sum rs1_onehot_i * x_i
+        p.identity(p.sub(rs1v, p.lin(
+            [(1, p.mul(cm(self.m_rs11h + i), x[i])) for i in range(N_REGS)])),
+            "zkvm.pil", 2)
+        p.identity(p.sub(rs2v, p.lin(
+            [(1, p.mul(cm(self.m_rs21h + i), x[i])) for i in range(N_REGS)])),
+            "zkvm.pil", 3)
+        p.identity(x[0], "zkvm.pil", 4)  # x0 == 0
+
+        # register updates (gated off on the wrap-around row)
+        for i in range(N_REGS):
+            wr = p.intermediate(p.mul(cm(self.m_rd1h + i), p.sub(rdv, x[i])))
+            p.identity(p.mul(not_last, p.sub(p.sub(xp[i], x[i]), wr)),
+                       "zkvm.pil", 5)
+
+        # ALU
+        carry = cm(self.m_carry)
+        hi = cm(self.m_hi)
+        p.identity(p.mul(carry, p.sub(num(1), carry)), "zkvm.pil", 6)
+        p.identity(p.mul(sel["add"], p.sub(p.add(rs1v, rs2v),
+                                           p.add(rdv, p.smul(W32, carry)))),
+                   "zkvm.pil", 7)
+        p.identity(p.mul(sel["sub"], p.sub(p.add(rs1v, p.smul(W32, carry)),
+                                           p.add(rs2v, rdv))),
+                   "zkvm.pil", 8)
+        p.identity(p.mul(sel["addi"], p.sub(p.add(rs1v, imm),
+                                            p.add(rdv, p.smul(W32, carry)))),
+                   "zkvm.pil", 9)
+        prod = p.intermediate(p.mul(rs1v, rs2v))
+        p.identity(p.mul(sel["mul"], p.sub(prod, p.add(rdv, p.smul(W32, hi)))),
+                   "zkvm.pil", 10)
+        p.identity(p.mul(p.add(sel["jal"], sel["jalr"]),
+                         p.sub(rdv, p.add(pc, num(1)))), "zkvm.pil", 11)
+
+        # equality / unsigned-less-than helpers
+        iz, dinv, lt = cm(self.m_iz), cm(self.m_dinv), cm(self.m_lt)
+        diff = p.sub(rs1v, rs2v)
+        p.identity(p.mul(iz, diff), "zkvm.pil", 12)
+        p.identity(p.sub(p.add(iz, p.mul(diff, dinv)), num(1)), "zkvm.pil", 13)
+        p.identity(p.mul(lt, p.sub(num(1), lt)), "zkvm.pil", 14)
+        lt_bytes = p.lin([(1 << (8 * k), cm(self.m_bytes_lt + k))
+                          for k in range(4)])
+        p.identity(p.sub(p.add(p.sub(rs1v, rs2v), num(W32)),
+                         p.add(p.mul(p.sub(num(1), lt), num(W32)), lt_bytes)),
+                   "zkvm.pil", 15)
+
+        # range decompositions
+        rd_bytes = p.lin([(1 << (8 * k), cm(self.m_bytes_rd + k))
+                          for k in range(4)])
+        p.identity(p.sub(rdv, rd_bytes), "zkvm.pil", 16)
+        hi_bytes = p.lin([(1 << (8 * k), cm(self.m_bytes_hi + k))
+                          for k in range(4)])
+        p.identity(p.sub(hi, hi_bytes), "zkvm.pil", 17)
+        for arr in (self.m_bytes_rd, self.m_bytes_hi, self.m_bytes_lt):
+            for k in range(4):
+                p.plookup(f=[cm(arr + k)], t=[const(self.c_byte)],
+                          file_name="zkvm.pil", line=18)
+
+        # pc transition
+        taken = p.intermediate(p.lin([
+            (1, p.mul(sel["beq"], iz)),
+            (1, p.mul(sel["bne"], p.sub(num(1), iz))),
+            (1, p.mul(sel["blt"], lt))]))
+        delta = p.intermediate(p.lin([
+            (1, p.mul(taken, p.sub(imm, p.add(pc, num(1))))),
+            (1, p.mul(sel["jal"], p.sub(imm, p.add(pc, num(1))))),
+            (1, p.mul(sel["jalr"],
+                      p.sub(p.add(rs1v, imm), p.add(pc, num(1))))),
+            (gl.P_INT - 1, sel["halt"])]))
+        p.identity(p.mul(not_last,
+                         p.sub(pcp, p.add(p.add(pc, num(1)), delta))),
+                   "zkvm.pil", 19)
+
+        # input tape
+        in_idx = cm(self.m_inidx)
+        p.identity(p.mul(not_last,
+                         p.sub(cm(self.m_inidx, True),
+                               p.add(in_idx, sel["in"]))), "zkvm.pil", 20)
+        p.plookup(f=[in_idx, rdv],
+                  t=[const(self.c_tape_idx), const(self.c_tape_val)],
+                  sel_f=sel["in"], sel_t=const(self.c_tape_on),
+                  file_name="zkvm.pil", line=21)
+
+        # continuation publics: state at the first and last row
+        l1 = const(self.c_l1)
+        binds = [("pc_in", self.m_pc, 0), ("pc_out", self.m_pc, N - 1),
+                 ("in_idx_in", self.m_inidx, 0),
+                 ("in_idx_out", self.m_inidx, N - 1)]
+        for i in range(N_REGS):
+            binds.append((f"x{i}_in", self.m_x + i, 0))
+            binds.append((f"x{i}_out", self.m_x + i, N - 1))
+        for name, pol, idx in binds:
+            pub = p.public_input(name, cm(pol), idx)
+            gate = l1 if idx == 0 else llast
+            p.identity(p.mul(gate, p.sub(cm(pol), pub)), "zkvm.pil", 22)
+
+        self.pil = p.build()
+        self.const_pols = self._fill_constants()
+
+    def _fill_constants(self) -> PolsArray:
+        cp = PolsArray(self.pil, PolsArray.CONSTANT)
+        buf = cp.buffer
+        N = self.N
+        buf[0, self.c_l1] = 1
+        buf[N - 1, self.c_llast] = 1
+        buf[:, self.c_byte] = np.arange(N, dtype=np.uint64) % 256
+        op_index = {op: i for i, op in enumerate(SEL_OPS)}
+        for j, ins in enumerate(self.program):
+            buf[j, self.c_rom_on] = 1
+            buf[j, self.c_rom_pc] = j
+            buf[j, self.c_rom_sel + op_index[ins.op]] = 1
+            buf[j, self.c_rom_imm] = ins.imm
+            writes = ins.op in ("add", "sub", "mul", "addi", "jal", "jalr",
+                                "in") and ins.rd != 0
+            if writes:
+                buf[j, self.c_rom_rd + ins.rd] = 1
+            buf[j, self.c_rom_rs1 + ins.rs1] = 1
+            buf[j, self.c_rom_rs2 + ins.rs2] = 1
+        buf[: self.tape_size, self.c_tape_on] = 1
+        buf[: self.tape_size, self.c_tape_idx] = np.arange(
+            self.tape_size, dtype=np.uint64)
+        return cp
+
+    def set_tape(self, inputs: list[int]):
+        assert len(inputs) <= self.tape_size
+        buf = self.const_pols.buffer
+        buf[:, self.c_tape_val] = 0
+        for i, v in enumerate(inputs):
+            buf[i, self.c_tape_val] = v % WORD
+
+    def trace(self, states, inputs=()) -> PolsArray:
+        """Fill the commit columns from executed machine states
+        (isa.execute output); pads by spinning at the final pc.  A chunk
+        that did not halt must supply exactly N states (its boundary row
+        carries the outgoing machine state)."""
+        N = self.N
+        assert len(states) <= N, "execution longer than the chunk"
+        if not states[-1].halted and len(states) != N:
+            raise ValueError("non-final chunk must have exactly N states")
+        cmp = PolsArray(self.pil, PolsArray.COMMIT)
+        buf = cmp.buffer
+        op_index = {op: i for i, op in enumerate(SEL_OPS)}
+        prog = self.program
+
+        rows = list(states)
+        while len(rows) < N:
+            rows.append(rows[-1])  # halt spin
+
+        for i, st in enumerate(rows):
+            ins = prog[st.pc]
+            buf[i, self.m_pc] = st.pc
+            for r in range(N_REGS):
+                buf[i, self.m_x + r] = st.regs[r]
+            buf[i, self.m_sel + op_index[ins.op]] = 1
+            buf[i, self.m_imm] = ins.imm
+            writes = ins.op in ("add", "sub", "mul", "addi", "jal", "jalr",
+                                "in") and ins.rd != 0
+            if writes:
+                buf[i, self.m_rd1h + ins.rd] = 1
+            buf[i, self.m_rs11h + ins.rs1] = 1
+            buf[i, self.m_rs21h + ins.rs2] = 1
+            a = st.regs[ins.rs1]
+            b = st.regs[ins.rs2]
+            buf[i, self.m_rs1v] = a
+            buf[i, self.m_rs2v] = b
+            buf[i, self.m_inidx] = st.in_idx
+            rdv = carry = hi = 0
+            if ins.op == "add":
+                s = a + b
+                rdv, carry = s % WORD, s // WORD
+            elif ins.op == "sub":
+                rdv = (a - b) % WORD
+                carry = 1 if a < b else 0
+            elif ins.op == "addi":
+                s = a + ins.imm
+                rdv, carry = s % WORD, s // WORD
+            elif ins.op == "mul":
+                prod = a * b
+                rdv, hi = prod % WORD, prod // WORD
+            elif ins.op in ("jal", "jalr"):
+                rdv = st.pc + 1
+            elif ins.op == "in":
+                rdv = inputs[st.in_idx] % WORD
+            buf[i, self.m_rdv] = rdv
+            buf[i, self.m_carry] = carry
+            buf[i, self.m_hi] = hi
+            for k in range(4):
+                buf[i, self.m_bytes_rd + k] = (rdv >> (8 * k)) & 0xFF
+                buf[i, self.m_bytes_hi + k] = (hi >> (8 * k)) & 0xFF
+            diff = (a - b) % gl.P_INT
+            buf[i, self.m_iz] = 1 if diff == 0 else 0
+            buf[i, self.m_dinv] = pow(diff, gl.P_INT - 2, gl.P_INT) \
+                if diff else 0
+            lt = 1 if a < b else 0
+            buf[i, self.m_lt] = lt
+            low = a - b + (1 << 32) - (1 - lt) * (1 << 32)
+            for k in range(4):
+                buf[i, self.m_bytes_lt + k] = (low >> (8 * k)) & 0xFF
+        return cmp
