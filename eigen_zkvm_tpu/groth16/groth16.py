@@ -148,40 +148,77 @@ def setup(curve, constraints, n_vars: int, n_publics: int,
     a_t, b_t, c_t, z_tau = _eval_qap(constraints, n_vars, n_pub_total,
                                      tau, r, m)
 
-    from ..curves.msm import g1_fixed_base, g2_fixed_base
-    fb1 = g1_fixed_base(curve)
-    fb2 = g2_fixed_base(curve)
-
-    def G1(k):
-        return curve.g1_to_affine(fb1.mul(k % r))
-
-    def G2(k):
-        return curve.g2_to_affine(fb2.mul(k % r))
-
     delta_inv = pow(delta, r - 2, r)
     gamma_inv = pow(gamma, r - 2, r)
 
-    a_query = [G1(a_t[i]) for i in range(n_vars)]
-    b1_query = [G1(b_t[i]) for i in range(n_vars)]
-    b2_query = [G2(b_t[i]) for i in range(n_vars)]
-    ic = [G1((beta * a_t[i] + alpha * b_t[i] + c_t[i]) * gamma_inv)
-          for i in range(n_pub_total)]
-    l_query = [G1((beta * a_t[i] + alpha * b_t[i] + c_t[i]) * delta_inv)
-               for i in range(n_pub_total, n_vars)]
-    h_query = [G1(pow(tau, i, r) * z_tau % r * delta_inv)
-               for i in range(m - 1)]
+    ks = [(beta * a_t[i] + alpha * b_t[i] + c_t[i]) % r
+          for i in range(n_vars)]
+    tz = []
+    tp = 1
+    for _ in range(m - 1):
+        tz.append(tp * z_tau % r * delta_inv % r)
+        tp = tp * tau % r
+    g1_scalars = ([alpha, beta, delta] + a_t + b_t
+                  + [k * gamma_inv % r for k in ks[:n_pub_total]]
+                  + [k * delta_inv % r for k in ks[n_pub_total:]] + tz)
+    g2_scalars = [beta, gamma, delta] + b_t
+    g1_pts = _fixed_base_all(curve, curve.G1_GEN, g1_scalars, g1=True)
+    g2_pts = _fixed_base_all(curve, curve.G2_GEN, g2_scalars, g1=False)
+
+    pos = 3
+    a_query = g1_pts[pos : pos + n_vars]
+    pos += n_vars
+    b1_query = g1_pts[pos : pos + n_vars]
+    pos += n_vars
+    ic = g1_pts[pos : pos + n_pub_total]
+    pos += n_pub_total
+    l_query = g1_pts[pos : pos + n_vars - n_pub_total]
+    pos += n_vars - n_pub_total
+    h_query = g1_pts[pos:]
+    b2_query = g2_pts[3:]
 
     pk = ProvingKey(
         curve_name=getattr(curve, "NAME", "bn128"), n_public=n_publics,
         n_vars=n_vars, domain_size=m,
-        alpha1=G1(alpha), beta1=G1(beta), beta2=G2(beta),
-        delta1=G1(delta), delta2=G2(delta),
+        alpha1=g1_pts[0], beta1=g1_pts[1], beta2=g2_pts[0],
+        delta1=g1_pts[2], delta2=g2_pts[2],
         a_query=a_query, b1_query=b1_query, b2_query=b2_query,
         l_query=l_query, h_query=h_query)
     vk = VerifyingKey(
         curve_name=pk.curve_name, alpha1=pk.alpha1, beta2=pk.beta2,
-        gamma2=G2(gamma), delta2=pk.delta2, ic=ic)
+        gamma2=g2_pts[1], delta2=pk.delta2, ic=ic)
     return pk, vk
+
+
+def _native_ec(curve):
+    if getattr(curve, "NAME", "bn128") not in ("bn128", "bn254") and \
+            curve.P.bit_length() != 254:
+        return None
+    try:
+        from .. import native
+        return native.ec_bn254
+    except Exception:
+        return None
+
+
+def _fixed_base_all(curve, base, scalars, g1: bool):
+    scalars = [int(s) % curve.R for s in scalars]
+    nat = _native_ec(curve)
+    if nat is not None:
+        return (nat.g1_fixed_batch if g1 else nat.g2_fixed_batch)(
+            base, scalars)
+    from ..curves.msm import g1_fixed_base, g2_fixed_base
+    fb = g1_fixed_base(curve) if g1 else g2_fixed_base(curve)
+    to_aff = curve.g1_to_affine if g1 else curve.g2_to_affine
+    return [to_aff(fb.mul(s)) for s in scalars]
+
+
+def _msm(curve, points, scalars, g1: bool):
+    nat = _native_ec(curve)
+    if nat is not None:
+        return (nat.g1_msm if g1 else nat.g2_msm)(points, scalars)
+    from ..curves.msm import msm_g1, msm_g2
+    return (msm_g1 if g1 else msm_g2)(curve, points, scalars)
 
 
 def _witness_h(curve, constraints, witness, n_pub_total, m):
@@ -200,6 +237,13 @@ def _witness_h(curve, constraints, witness, n_pub_total, m):
         az[nc + i] = witness[i] % r
 
     shift = 5  # any non-subgroup element works as the coset shift
+    nat = _native_ec(curve)
+    if nat is not None:
+        z_coset_inv = pow((pow(shift, m, r) - 1) % r, r - 2, r)
+        out = nat.fr_witness_h(az, bz, cz, w, shift, z_coset_inv)
+        assert out[m - 1] == 0, "H degree overflow"
+        return out[: m - 1]
+
     def to_coset(evals):
         coeffs = _intt(evals, w, r)
         sp = 1
@@ -237,21 +281,21 @@ def prove(curve, pk: ProvingKey, constraints, witness,
 
     g1 = curve.g1_from_affine
     # A = alpha + sum w_i A_i + r*delta
-    a_acc = msm_g1(curve, pk.a_query, witness)
+    a_acc = _msm(curve, pk.a_query, witness, g1=True)
     A = curve.g1_add(curve.g1_add(g1(a_acc), g1(pk.alpha1)),
                      curve.g1_mul(g1(pk.delta1), rr))
     # B (G2) and its G1 shadow
-    b2_acc = msm_g2(curve, pk.b2_query, witness)
+    b2_acc = _msm(curve, pk.b2_query, witness, g1=False)
     B = curve.g2_add(curve.g2_add(curve.g2_from_affine(b2_acc),
                                   curve.g2_from_affine(pk.beta2)),
                      curve.g2_mul(curve.g2_from_affine(curve.G2_GEN), 0))
     B = curve.g2_add(B, curve.g2_mul(curve.g2_from_affine(pk.delta2), ss))
-    b1_acc = msm_g1(curve, pk.b1_query, witness)
+    b1_acc = _msm(curve, pk.b1_query, witness, g1=True)
     B1 = curve.g1_add(curve.g1_add(g1(b1_acc), g1(pk.beta1)),
                       curve.g1_mul(g1(pk.delta1), ss))
     # C = sum_priv w_i L_i + H(tau)Z/delta + s*A + r*B1 - r*s*delta
-    l_acc = msm_g1(curve, pk.l_query, witness[n_pub_total:])
-    h_acc = msm_g1(curve, pk.h_query, h)
+    l_acc = _msm(curve, pk.l_query, witness[n_pub_total:], g1=True)
+    h_acc = _msm(curve, pk.h_query, h, g1=True)
     C = curve.g1_add(g1(l_acc), g1(h_acc))
     C = curve.g1_add(C, curve.g1_mul(A, ss))
     C = curve.g1_add(C, curve.g1_mul(B1, rr))

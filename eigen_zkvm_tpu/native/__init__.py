@@ -101,6 +101,112 @@ class _PoseidonGL:
 poseidon: _PoseidonGL | None = None
 
 
+_EC_SRC = os.path.join(_DIR, "ec_bn254.cpp")
+_EC_SO = os.path.join(_DIR, "libec_bn254.so")
+
+
+class _EcBN254:
+    """BN254 G1/G2 MSM + fixed-base batches (native/ec_bn254.cpp)."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        for name in ("g1_msm", "g2_msm", "g1_fixed_batch", "g2_fixed_batch"):
+            getattr(lib, name).argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+        lib.fr_witness_h.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
+                                     u64p, u64p, u64p, u64p]
+
+    @staticmethod
+    def _limbs(vals, width):
+        blob = b"".join(int(x).to_bytes(32, "little")
+                        for v in vals for x in v)
+        return np.frombuffer(blob, dtype="<u8").reshape(
+            len(vals), width * 4).copy()
+
+    @staticmethod
+    def _scalars(ss):
+        blob = b"".join(int(s).to_bytes(32, "little") for s in ss)
+        return np.frombuffer(blob, dtype="<u8").reshape(len(ss), 4).copy()
+
+    @staticmethod
+    def _unlimb(row, width):
+        coords = [sum(int(row[j * 4 + k]) << (64 * k) for k in range(4))
+                  for j in range(width)]
+        if all(c == 0 for c in coords):
+            return None
+        return coords
+
+    def g1_msm(self, points, scalars):
+        """points: affine (x, y) pairs or None; returns affine or None."""
+        pts = self._limbs([(p[0], p[1]) if p else (0, 0) for p in points], 2)
+        sc = self._scalars(scalars)
+        out = np.zeros(8, dtype=np.uint64)
+        self._lib.g1_msm(_ptr(pts), _ptr(sc), len(points), _ptr(out))
+        r = self._unlimb(out, 2)
+        return tuple(r) if r else None
+
+    def g2_msm(self, points, scalars):
+        pts = self._limbs(
+            [(p[0][0], p[0][1], p[1][0], p[1][1]) if p else (0, 0, 0, 0)
+             for p in points], 4)
+        sc = self._scalars(scalars)
+        out = np.zeros(16, dtype=np.uint64)
+        self._lib.g2_msm(_ptr(pts), _ptr(sc), len(points), _ptr(out))
+        r = self._unlimb(out, 4)
+        return ((r[0], r[1]), (r[2], r[3])) if r else None
+
+    def g1_fixed_batch(self, base, scalars):
+        b = self._limbs([(base[0], base[1])], 2)[0].copy()
+        sc = self._scalars(scalars)
+        out = np.zeros((len(scalars), 8), dtype=np.uint64)
+        self._lib.g1_fixed_batch(_ptr(b), _ptr(sc), len(scalars), _ptr(out))
+        res = []
+        for i in range(len(scalars)):
+            r = self._unlimb(out[i], 2)
+            res.append(tuple(r) if r else None)
+        return res
+
+    def fr_witness_h(self, az, bz, cz, w, shift, zinv):
+        n = len(az)
+        a = self._scalars(az)
+        b = self._scalars(bz)
+        c = self._scalars(cz)
+        wv = self._scalars([w])[0].copy()
+        sv = self._scalars([shift])[0].copy()
+        zv = self._scalars([zinv])[0].copy()
+        out = np.zeros((n, 4), dtype=np.uint64)
+        self._lib.fr_witness_h(_ptr(a), _ptr(b), _ptr(c), n, _ptr(wv),
+                               _ptr(sv), _ptr(zv), _ptr(out))
+        return [int(out[i, 0]) | int(out[i, 1]) << 64 | int(out[i, 2]) << 128
+                | int(out[i, 3]) << 192 for i in range(n)]
+
+    def g2_fixed_batch(self, base, scalars):
+        b = self._limbs([(base[0][0], base[0][1], base[1][0], base[1][1])],
+                        4)[0].copy()
+        sc = self._scalars(scalars)
+        out = np.zeros((len(scalars), 16), dtype=np.uint64)
+        self._lib.g2_fixed_batch(_ptr(b), _ptr(sc), len(scalars), _ptr(out))
+        res = []
+        for i in range(len(scalars)):
+            r = self._unlimb(out[i], 4)
+            res.append(((r[0], r[1]), (r[2], r[3])) if r else None)
+        return res
+
+
+ec_bn254: _EcBN254 | None = None
+
+
+def _build_ec() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-march=native",
+             "-o", _EC_SO, _EC_SRC],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
 def _init():
     global poseidon
     if os.environ.get("EIGEN_ZKVM_NO_NATIVE"):
@@ -111,6 +217,16 @@ def _init():
     from ..hash import poseidon_gl as pnp
 
     poseidon = _PoseidonGL(lib, pnp.C, pnp.M, pnp.PMAT, pnp.S)
+
+    global ec_bn254
+    if (not os.path.exists(_EC_SO)
+            or os.path.getmtime(_EC_SO) < os.path.getmtime(_EC_SRC)):
+        if not _build_ec():
+            return
+    try:
+        ec_bn254 = _EcBN254(ctypes.CDLL(_EC_SO))
+    except OSError:
+        pass
 
 
 _init()

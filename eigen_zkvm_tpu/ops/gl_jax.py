@@ -18,10 +18,12 @@ import jax.numpy as jnp
 import numpy as np
 
 P_INT = 0xFFFFFFFF00000001
-P_LO = jnp.uint32(0x00000001)
-P_HI = jnp.uint32(0xFFFFFFFF)
-U16 = jnp.uint32(16)
-MASK16 = jnp.uint32(0xFFFF)
+# numpy scalars (not jnp): usable both under jit and inside Pallas kernel
+# bodies, where captured traced constants are rejected
+P_LO = np.uint32(0x00000001)
+P_HI = np.uint32(0xFFFFFFFF)
+U16 = np.uint32(16)
+MASK16 = np.uint32(0xFFFF)
 
 GL = tuple  # (lo: u32 array, hi: u32 array)
 
