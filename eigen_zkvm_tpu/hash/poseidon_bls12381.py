@@ -11,6 +11,7 @@ N_ROUNDS_P = [55, 55, 56, 56, 56, 56, 57, 57, 57, 57, 57, 57, 57, 57, 59, 59]
 
 _inst = PoseidonBig(P, "poseidon_bls12381_opt.npz", N_ROUNDS_P)
 
+HASH_FR_INDEX = 1  # which permutation output is the hash
 POSEIDON = _inst
 tables = _inst.tables
 hash_ex = _inst.hash_ex

@@ -11,6 +11,7 @@ N_ROUNDS_P = [56, 57, 56, 60, 60, 63, 64, 63, 60, 66, 60, 65, 70, 60, 64, 68]
 
 _inst = PoseidonBig(P, "poseidon_bn128_opt.npz", N_ROUNDS_P)
 
+HASH_FR_INDEX = 0  # which permutation output is the hash
 POSEIDON = _inst
 tables = _inst.tables
 hash_ex = _inst.hash_ex

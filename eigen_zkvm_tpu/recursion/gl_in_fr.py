@@ -219,6 +219,12 @@ class PoseidonFrCircuit:
         x4 = b.mul(x2, x2)
         return b.mul(x4, x)
 
+    def hash_fr(self, inputs, init_state):
+        """The curve's single-Fr hash (BN: output 0; BLS12-381: output 1 —
+        Neptune convention, hash/poseidon_bls12381.py)."""
+        idx = getattr(self.pbn, "HASH_FR_INDEX", 0)
+        return self.hash_ex(inputs, init_state, idx + 1)[idx]
+
     def hash_ex(self, inputs, init_state, n_out: int):
         """inputs: list of Fr wires (len 1..16); init_state: Fr wire."""
         b = self.b

@@ -149,7 +149,7 @@ class StarkVerifierCircuitBN:
                 sel = [b.mux(bit, sel[2 * j], sel[2 * j + 1])
                        for j in range(len(sel) // 2)]
             b.assert_eq(sel[0], cur)
-            cur = self.pos.hash_ex(list(level), b.W(), 1)[0]
+            cur = self.pos.hash_fr(list(level), b.W())
         b.assert_eq(cur, root_w)
 
     def _leaf_hash(self, vals: list[GlF]):
@@ -170,7 +170,7 @@ class StarkVerifierCircuitBN:
         st = b.W()
         for i in range(0, len(packed), 16):
             grp = packed[i : i + 16]
-            st = self.pos.hash_ex(grp, st, 1)[0]
+            st = self.pos.hash_fr(grp, st)
         return st
 
     def verify(self, p: ProofSignalsBN, publics: list[GlF]):

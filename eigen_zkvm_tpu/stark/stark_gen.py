@@ -86,10 +86,30 @@ def calculate_z(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     return z
 
 
+def _tpu_commit():
+    """The on-device commit backend, when enabled and a TPU is present
+    (EIGEN_ZKVM_TPU_COMMIT=1; GL Merkle only)."""
+    import os
+
+    if not os.environ.get("EIGEN_ZKVM_TPU_COMMIT"):
+        return None
+    from ..ops import commit_tpu
+
+    return commit_tpu if commit_tpu.enabled() else None
+
+
 def _extend_and_merkelize(ctx: ProverContext, section: str, merkle_cls):
     """LDE a *_n section to its *_2ns twin and Merkle-commit it."""
+    from ..hash.merkle_gl import MerkleTreeGL
+
     n_pols = ctx.sections[section].shape[1]
     ext_name = section.replace("_n", "_2ns")
+    tpu = _tpu_commit() if merkle_cls is MerkleTreeGL and n_pols else None
+    if tpu is not None:
+        tree = tpu.tpu_extend_and_merkelize(ctx.sections[section], ctx.nbits,
+                                            ctx.nbits_ext)
+        ctx.sections[ext_name][:, :] = tree.elements
+        return tree
     lde = ntt.interpolate(ctx.sections[section], ctx.nbits, ctx.nbits_ext) \
         if n_pols else np.zeros((ctx.Next, 0), dtype=np.uint64)
     ctx.sections[ext_name][:, :] = lde
@@ -98,7 +118,12 @@ def _extend_and_merkelize(ctx: ProverContext, section: str, merkle_cls):
 
 
 def _merkelize(ctx: ProverContext, section: str, merkle_cls):
+    from ..hash.merkle_gl import MerkleTreeGL
+
     buf = ctx.sections[section]
+    tpu = _tpu_commit() if merkle_cls is MerkleTreeGL and buf.shape[1] else None
+    if tpu is not None:
+        return tpu.tpu_merkelize(buf)
     return merkle_cls().merkelize(buf, buf.shape[1], buf.shape[0])
 
 
