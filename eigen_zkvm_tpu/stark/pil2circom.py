@@ -677,11 +677,12 @@ template Main() {{
 def pil2circom(pil, const_root, ss, starkinfo, program, options=None) -> str:
     """Render the verifier (reference entry: pil2circom.rs:21)."""
     options = options or StarkOption()
+    if ss.verificationHashType in ("BN128", "BLS12381"):
+        from .pil2circom_onchain import render_onchain
+        return render_onchain(pil, const_root, ss, starkinfo, program,
+                              options)
     if ss.verificationHashType != "GL":
-        raise NotImplementedError(
-            "circom text rendering is provided for the GL recursion layers; "
-            "the on-chain layer is verified natively "
-            "(recursion/stark_verifier_circuit_bn.py)")
+        raise ValueError(f"invalid hash type {ss.verificationHashType}")
     out = _header(options)
     out += _verify_evaluations(starkinfo, program, pil, ss)
     out += _verify_query(starkinfo, program, ss)

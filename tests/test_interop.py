@@ -105,3 +105,25 @@ def test_pil2circom_renders_all_variants():
         assert "template StarkVerifier()" in txt
         assert "component main" in txt
         assert "Poseidon(12)" in txt
+
+
+def test_pil2circom_onchain_renders():
+    from eigen_zkvm_tpu.stark.pil2circom import StarkOption, pil2circom
+    from eigen_zkvm_tpu.stark.polsarray import PolsArray
+    from eigen_zkvm_tpu.stark.stark_setup import StarkSetup
+    from eigen_zkvm_tpu.stark.types import load_pil, load_starkstruct
+
+    pil = load_pil(reference_fixture("fib.pil.json"))
+    ss = load_starkstruct(reference_fixture("starkStruct.json"))  # BN128
+    const_pols = PolsArray(pil, PolsArray.CONSTANT).load(
+        reference_fixture("fib.const"))
+    s = StarkSetup(const_pols, pil, ss)
+    for opt in (StarkOption(), StarkOption(verkey_input=True),
+                StarkOption(skip_main=True)):
+        txt = pil2circom(pil, s.const_root, ss, s.starkinfo, s.program, opt)
+        assert txt.count("{") == txt.count("}")
+        assert txt.count("(") == txt.count(")")
+        assert "PoseidonEx(16,17)" in txt and "BN1toGL3" in txt
+        assert "MerkleHash(1," in txt
+        if not opt.skip_main:
+            assert "Sha256(" in txt and "publicsHash" in txt
