@@ -191,14 +191,16 @@ def setup(curve, constraints, n_vars: int, n_publics: int,
 
 
 def _native_ec(curve):
-    if getattr(curve, "NAME", "bn128") not in ("bn128", "bn254") and \
-            curve.P.bit_length() != 254:
-        return None
     try:
         from .. import native
-        return native.ec_bn254
     except Exception:
         return None
+    name = getattr(curve, "NAME", "bn128")
+    if name in ("bn128", "bn254") or curve.P.bit_length() == 254:
+        return native.ec_bn254
+    if name == "bls12381" or curve.P.bit_length() == 381:
+        return native.ec_bls12381
+    return None
 
 
 def _fixed_base_all(curve, base, scalars, g1: bool):

@@ -101,36 +101,44 @@ class _PoseidonGL:
 poseidon: _PoseidonGL | None = None
 
 
-_EC_SRC = os.path.join(_DIR, "ec_bn254.cpp")
-_EC_SO = os.path.join(_DIR, "libec_bn254.so")
+_EC_SRC = os.path.join(_DIR, "ec_curves.cpp")
+_EC_SO = os.path.join(_DIR, "libec_curves.so")
 
 
-class _EcBN254:
-    """BN254 G1/G2 MSM + fixed-base batches (native/ec_bn254.cpp)."""
+class _EcCurve:
+    """One curve's G1/G2 MSM + fixed-base batches + Fr NTT quotient
+    (native/ec_curves.cpp; symbol prefix selects BN254 or BLS12-381)."""
 
-    def __init__(self, lib):
+    def __init__(self, lib, prefix: str, n_limbs: int):
         self._lib = lib
+        self._n = n_limbs
         u64p = ctypes.POINTER(ctypes.c_uint64)
-        for name in ("g1_msm", "g2_msm", "g1_fixed_batch", "g2_fixed_batch"):
-            getattr(lib, name).argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
-        lib.fr_witness_h.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
-                                     u64p, u64p, u64p, u64p]
+        self._g1_msm = getattr(lib, f"{prefix}_g1_msm")
+        self._g2_msm = getattr(lib, f"{prefix}_g2_msm")
+        self._g1_fixed = getattr(lib, f"{prefix}_g1_fixed_batch")
+        self._g2_fixed = getattr(lib, f"{prefix}_g2_fixed_batch")
+        self._wh = getattr(lib, f"{prefix}_fr_witness_h")
+        for fn in (self._g1_msm, self._g2_msm, self._g1_fixed,
+                   self._g2_fixed):
+            fn.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
+        self._wh.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
+                             u64p, u64p, u64p, u64p]
 
-    @staticmethod
-    def _limbs(vals, width):
-        blob = b"".join(int(x).to_bytes(32, "little")
+    def _limbs(self, vals, width):
+        nb = self._n * 8
+        blob = b"".join(int(x).to_bytes(nb, "little")
                         for v in vals for x in v)
         return np.frombuffer(blob, dtype="<u8").reshape(
-            len(vals), width * 4).copy()
+            len(vals), width * self._n).copy()
 
     @staticmethod
     def _scalars(ss):
         blob = b"".join(int(s).to_bytes(32, "little") for s in ss)
         return np.frombuffer(blob, dtype="<u8").reshape(len(ss), 4).copy()
 
-    @staticmethod
-    def _unlimb(row, width):
-        coords = [sum(int(row[j * 4 + k]) << (64 * k) for k in range(4))
+    def _unlimb(self, row, width):
+        n = self._n
+        coords = [sum(int(row[j * n + k]) << (64 * k) for k in range(n))
                   for j in range(width)]
         if all(c == 0 for c in coords):
             return None
@@ -140,8 +148,8 @@ class _EcBN254:
         """points: affine (x, y) pairs or None; returns affine or None."""
         pts = self._limbs([(p[0], p[1]) if p else (0, 0) for p in points], 2)
         sc = self._scalars(scalars)
-        out = np.zeros(8, dtype=np.uint64)
-        self._lib.g1_msm(_ptr(pts), _ptr(sc), len(points), _ptr(out))
+        out = np.zeros(2 * self._n, dtype=np.uint64)
+        self._g1_msm(_ptr(pts), _ptr(sc), len(points), _ptr(out))
         r = self._unlimb(out, 2)
         return tuple(r) if r else None
 
@@ -150,16 +158,16 @@ class _EcBN254:
             [(p[0][0], p[0][1], p[1][0], p[1][1]) if p else (0, 0, 0, 0)
              for p in points], 4)
         sc = self._scalars(scalars)
-        out = np.zeros(16, dtype=np.uint64)
-        self._lib.g2_msm(_ptr(pts), _ptr(sc), len(points), _ptr(out))
+        out = np.zeros(4 * self._n, dtype=np.uint64)
+        self._g2_msm(_ptr(pts), _ptr(sc), len(points), _ptr(out))
         r = self._unlimb(out, 4)
         return ((r[0], r[1]), (r[2], r[3])) if r else None
 
     def g1_fixed_batch(self, base, scalars):
         b = self._limbs([(base[0], base[1])], 2)[0].copy()
         sc = self._scalars(scalars)
-        out = np.zeros((len(scalars), 8), dtype=np.uint64)
-        self._lib.g1_fixed_batch(_ptr(b), _ptr(sc), len(scalars), _ptr(out))
+        out = np.zeros((len(scalars), 2 * self._n), dtype=np.uint64)
+        self._g1_fixed(_ptr(b), _ptr(sc), len(scalars), _ptr(out))
         res = []
         for i in range(len(scalars)):
             r = self._unlimb(out[i], 2)
@@ -175,8 +183,8 @@ class _EcBN254:
         sv = self._scalars([shift])[0].copy()
         zv = self._scalars([zinv])[0].copy()
         out = np.zeros((n, 4), dtype=np.uint64)
-        self._lib.fr_witness_h(_ptr(a), _ptr(b), _ptr(c), n, _ptr(wv),
-                               _ptr(sv), _ptr(zv), _ptr(out))
+        self._wh(_ptr(a), _ptr(b), _ptr(c), n, _ptr(wv), _ptr(sv), _ptr(zv),
+                 _ptr(out))
         return [int(out[i, 0]) | int(out[i, 1]) << 64 | int(out[i, 2]) << 128
                 | int(out[i, 3]) << 192 for i in range(n)]
 
@@ -184,8 +192,8 @@ class _EcBN254:
         b = self._limbs([(base[0][0], base[0][1], base[1][0], base[1][1])],
                         4)[0].copy()
         sc = self._scalars(scalars)
-        out = np.zeros((len(scalars), 16), dtype=np.uint64)
-        self._lib.g2_fixed_batch(_ptr(b), _ptr(sc), len(scalars), _ptr(out))
+        out = np.zeros((len(scalars), 4 * self._n), dtype=np.uint64)
+        self._g2_fixed(_ptr(b), _ptr(sc), len(scalars), _ptr(out))
         res = []
         for i in range(len(scalars)):
             r = self._unlimb(out[i], 4)
@@ -193,7 +201,8 @@ class _EcBN254:
         return res
 
 
-ec_bn254: _EcBN254 | None = None
+ec_bn254: _EcCurve | None = None
+ec_bls12381: _EcCurve | None = None
 
 
 def _build_ec() -> bool:
@@ -218,14 +227,16 @@ def _init():
 
     poseidon = _PoseidonGL(lib, pnp.C, pnp.M, pnp.PMAT, pnp.S)
 
-    global ec_bn254
+    global ec_bn254, ec_bls12381
     if (not os.path.exists(_EC_SO)
             or os.path.getmtime(_EC_SO) < os.path.getmtime(_EC_SRC)):
         if not _build_ec():
             return
     try:
-        ec_bn254 = _EcBN254(ctypes.CDLL(_EC_SO))
-    except OSError:
+        eclib = ctypes.CDLL(_EC_SO)
+        ec_bn254 = _EcCurve(eclib, "bn254", 4)
+        ec_bls12381 = _EcCurve(eclib, "bls12381", 6)
+    except (OSError, AttributeError):
         pass
 
 

@@ -1,0 +1,608 @@
+// Curve-generic EC kernels (BN254 + BLS12-381): Montgomery base fields,
+// Jacobian G1/G2, Pippenger MSM, windowed fixed-base batches, scalar-field
+// NTT quotient — the bellman/bellperson multiexp role for BOTH of the
+// reference's SNARK curves (groth16/src/groth16.rs).
+//
+// ctypes interface: affine points as canonical LE u64 limbs (G1: x,y of
+// NL limbs each; G2: x.c0,x.c1,y.c0,y.c1), all-zero = infinity; scalars
+// u64[4].
+#include <cstdint>
+#include <cstring>
+#include <vector>
+#ifdef _OPENMP
+#include <omp.h>
+#endif
+
+typedef __uint128_t u128;
+typedef uint64_t u64;
+
+template <int NL>
+struct FieldParams {
+    u64 P[NL];
+    u64 R2[NL];
+    u64 ONE[NL];
+    u64 PM2[NL];  // P - 2 (inversion exponent)
+    u64 N0INV;
+};
+
+template <int NL>
+struct Fp {
+    u64 v[NL];
+};
+
+template <int NL, const FieldParams<NL> *FP>
+struct F {
+    typedef Fp<NL> T;
+
+    static inline bool is_zero(const T &a) {
+        u64 acc = 0;
+        for (int i = 0; i < NL; ++i) acc |= a.v[i];
+        return acc == 0;
+    }
+    static inline bool geq_p(const u64 *a) {
+        for (int i = NL - 1; i >= 0; --i) {
+            if (a[i] > FP->P[i]) return true;
+            if (a[i] < FP->P[i]) return false;
+        }
+        return true;
+    }
+    static inline void sub_p(u64 *a) {
+        u128 borrow = 0;
+        for (int i = 0; i < NL; ++i) {
+            u128 d = (u128)a[i] - FP->P[i] - borrow;
+            a[i] = (u64)d;
+            borrow = (d >> 64) & 1;
+        }
+    }
+    static inline T add(const T &a, const T &b) {
+        T r;
+        u128 carry = 0;
+        for (int i = 0; i < NL; ++i) {
+            u128 s = (u128)a.v[i] + b.v[i] + carry;
+            r.v[i] = (u64)s;
+            carry = s >> 64;
+        }
+        if (carry || geq_p(r.v)) sub_p(r.v);
+        return r;
+    }
+    static inline T sub(const T &a, const T &b) {
+        T r;
+        u128 borrow = 0;
+        for (int i = 0; i < NL; ++i) {
+            u128 d = (u128)a.v[i] - b.v[i] - borrow;
+            r.v[i] = (u64)d;
+            borrow = (d >> 64) & 1;
+        }
+        if (borrow) {
+            u128 carry = 0;
+            for (int i = 0; i < NL; ++i) {
+                u128 s = (u128)r.v[i] + FP->P[i] + carry;
+                r.v[i] = (u64)s;
+                carry = s >> 64;
+            }
+        }
+        return r;
+    }
+    static inline T dbl(const T &a) { return add(a, a); }
+
+    // CIOS Montgomery multiplication
+    static inline T mul(const T &a, const T &b) {
+        u64 t[NL + 2];
+        memset(t, 0, sizeof(t));
+        for (int i = 0; i < NL; ++i) {
+            u128 carry = 0;
+            for (int j = 0; j < NL; ++j) {
+                u128 cur = (u128)t[j] + (u128)a.v[i] * b.v[j] + carry;
+                t[j] = (u64)cur;
+                carry = cur >> 64;
+            }
+            u128 cur = (u128)t[NL] + carry;
+            t[NL] = (u64)cur;
+            t[NL + 1] = (u64)(cur >> 64);
+
+            u64 m = t[0] * FP->N0INV;
+            carry = ((u128)t[0] + (u128)m * FP->P[0]) >> 64;
+            for (int j = 1; j < NL; ++j) {
+                u128 cur2 = (u128)t[j] + (u128)m * FP->P[j] + carry;
+                t[j - 1] = (u64)cur2;
+                carry = cur2 >> 64;
+            }
+            cur = (u128)t[NL] + carry;
+            t[NL - 1] = (u64)cur;
+            t[NL] = t[NL + 1] + (u64)(cur >> 64);
+        }
+        T r;
+        memcpy(r.v, t, NL * 8);
+        if (t[NL] || geq_p(r.v)) sub_p(r.v);
+        return r;
+    }
+    static inline T sq(const T &a) { return mul(a, a); }
+    static inline T to_mont(const T &a) {
+        T r2;
+        memcpy(r2.v, FP->R2, NL * 8);
+        return mul(a, r2);
+    }
+    static inline T from_mont(const T &a) {
+        T one;
+        memset(one.v, 0, NL * 8);
+        one.v[0] = 1;
+        return mul(a, one);
+    }
+    static inline T one_mont() {
+        T o;
+        memcpy(o.v, FP->ONE, NL * 8);
+        return o;
+    }
+    static inline T inv(const T &a) {
+        T result = one_mont();
+        T base = a;
+        for (int limb = 0; limb < NL; ++limb) {
+            u64 bits = FP->PM2[limb];
+            for (int i = 0; i < 64; ++i) {
+                if (bits & 1) result = mul(result, base);
+                base = sq(base);
+                bits >>= 1;
+            }
+        }
+        return result;
+    }
+};
+
+// quadratic extension u^2 = -1
+template <typename FQ>
+struct F2 {
+    typedef typename FQ::T B;
+    struct T { B c0, c1; };
+
+    static inline bool is_zero(const T &a) {
+        return FQ::is_zero(a.c0) && FQ::is_zero(a.c1);
+    }
+    static inline T add(const T &a, const T &b) {
+        return {FQ::add(a.c0, b.c0), FQ::add(a.c1, b.c1)};
+    }
+    static inline T sub(const T &a, const T &b) {
+        return {FQ::sub(a.c0, b.c0), FQ::sub(a.c1, b.c1)};
+    }
+    static inline T dbl(const T &a) { return {FQ::dbl(a.c0), FQ::dbl(a.c1)}; }
+    static inline T mul(const T &a, const T &b) {
+        B t0 = FQ::mul(a.c0, b.c0);
+        B t1 = FQ::mul(a.c1, b.c1);
+        B s = FQ::mul(FQ::add(a.c0, a.c1), FQ::add(b.c0, b.c1));
+        return {FQ::sub(t0, t1), FQ::sub(FQ::sub(s, t0), t1)};
+    }
+    static inline T sq(const T &a) { return mul(a, a); }
+    static inline T inv(const T &a) {
+        B t = FQ::inv(FQ::add(FQ::sq(a.c0), FQ::sq(a.c1)));
+        B zero;
+        memset(zero.v, 0, sizeof(zero.v));
+        return {FQ::mul(a.c0, t), FQ::sub(zero, FQ::mul(a.c1, t))};
+    }
+};
+
+template <typename FF>
+struct Point {
+    typename FF::T X, Y, Z;
+    bool inf;
+};
+
+template <typename FF>
+static inline Point<FF> pt_double(const Point<FF> &p) {
+    if (p.inf) return p;
+    auto A = FF::sq(p.X);
+    auto B = FF::sq(p.Y);
+    auto C = FF::sq(B);
+    auto t = FF::sq(FF::add(p.X, B));
+    auto D = FF::dbl(FF::sub(FF::sub(t, A), C));
+    auto E = FF::add(FF::add(A, A), A);
+    auto Fv = FF::sq(E);
+    Point<FF> r;
+    r.X = FF::sub(Fv, FF::dbl(D));
+    auto c8 = FF::dbl(FF::dbl(FF::dbl(C)));
+    r.Y = FF::sub(FF::mul(E, FF::sub(D, r.X)), c8);
+    r.Z = FF::dbl(FF::mul(p.Y, p.Z));
+    r.inf = false;
+    return r;
+}
+
+template <typename FF>
+static inline Point<FF> pt_add(const Point<FF> &p, const Point<FF> &q) {
+    if (p.inf) return q;
+    if (q.inf) return p;
+    auto Z1Z1 = FF::sq(p.Z);
+    auto Z2Z2 = FF::sq(q.Z);
+    auto U1 = FF::mul(p.X, Z2Z2);
+    auto U2 = FF::mul(q.X, Z1Z1);
+    auto S1 = FF::mul(FF::mul(p.Y, q.Z), Z2Z2);
+    auto S2 = FF::mul(FF::mul(q.Y, p.Z), Z1Z1);
+    auto H = FF::sub(U2, U1);
+    auto Rv = FF::sub(S2, S1);
+    if (FF::is_zero(H)) {
+        if (FF::is_zero(Rv)) return pt_double<FF>(p);
+        Point<FF> r;
+        r.inf = true;
+        return r;
+    }
+    auto I = FF::sq(FF::dbl(H));
+    auto J = FF::mul(H, I);
+    auto r2 = FF::dbl(Rv);
+    auto V = FF::mul(U1, I);
+    Point<FF> r;
+    r.X = FF::sub(FF::sub(FF::sq(r2), J), FF::dbl(V));
+    r.Y = FF::sub(FF::mul(r2, FF::sub(V, r.X)), FF::dbl(FF::mul(S1, J)));
+    r.Z = FF::mul(FF::sub(FF::sub(FF::sq(FF::add(p.Z, q.Z)), Z1Z1), Z2Z2), H);
+    r.inf = false;
+    return r;
+}
+
+// ---- field parameter tables ----
+
+static const FieldParams<4> BN_FQ = {
+    {0x3c208c16d87cfd47ULL, 0x97816a916871ca8dULL, 0xb85045b68181585dULL,
+     0x30644e72e131a029ULL},
+    {0xf32cfc5b538afa89ULL, 0xb5e71911d44501fbULL, 0x47ab1eff0a417ff6ULL,
+     0x06d89f71cab8351fULL},
+    {0xd35d438dc58f0d9dULL, 0x0a78eb28f5c70b3dULL, 0x666ea36f7879462cULL,
+     0x0e0a77c19a07df2fULL},
+    {0x3c208c16d87cfd45ULL, 0x97816a916871ca8dULL, 0xb85045b68181585dULL,
+     0x30644e72e131a029ULL},
+    0x87d20782e4866389ULL};
+
+static const FieldParams<6> BLS_FQ = {
+    {0xb9feffffffffaaabULL, 0x1eabfffeb153ffffULL, 0x6730d2a0f6b0f624ULL,
+     0x64774b84f38512bfULL, 0x4b1ba7b6434bacd7ULL, 0x1a0111ea397fe69aULL},
+    {0xf4df1f341c341746ULL, 0x0a76e6a609d104f1ULL, 0x8de5476c4c95b6d5ULL,
+     0x67eb88a9939d83c0ULL, 0x9a793e85b519952dULL, 0x11988fe592cae3aaULL},
+    {0x760900000002fffdULL, 0xebf4000bc40c0002ULL, 0x5f48985753c758baULL,
+     0x77ce585370525745ULL, 0x5c071a97a256ec6dULL, 0x15f65ec3fa80e493ULL},
+    {0xb9feffffffffaaa9ULL, 0x1eabfffeb153ffffULL, 0x6730d2a0f6b0f624ULL,
+     0x64774b84f38512bfULL, 0x4b1ba7b6434bacd7ULL, 0x1a0111ea397fe69aULL},
+    0x89f3fffcfffcfffdULL};
+
+static const FieldParams<4> BN_FR = {
+    {0x43e1f593f0000001ULL, 0x2833e84879b97091ULL, 0xb85045b68181585dULL,
+     0x30644e72e131a029ULL},
+    {0x1bb8e645ae216da7ULL, 0x53fe3ab1e35c59e3ULL, 0x8c49833d53bb8085ULL,
+     0x0216d0b17f4e44a5ULL},
+    {0xac96341c4ffffffbULL, 0x36fc76959f60cd29ULL, 0x666ea36f7879462eULL,
+     0x0e0a77c19a07df2fULL},
+    {0x43e1f593efffffffULL, 0x2833e84879b97091ULL, 0xb85045b68181585dULL,
+     0x30644e72e131a029ULL},
+    0xc2e1f593efffffffULL};
+
+static const FieldParams<4> BLS_FR = {
+    {0xffffffff00000001ULL, 0x53bda402fffe5bfeULL, 0x3339d80809a1d805ULL,
+     0x73eda753299d7d48ULL},
+    {0xc999e990f3f29c6dULL, 0x2b6cedcb87925c23ULL, 0x05d314967254398fULL,
+     0x0748d9d99f59ff11ULL},
+    {0x00000001fffffffeULL, 0x5884b7fa00034802ULL, 0x998c4fefecbc4ff5ULL,
+     0x1824b159acc5056fULL},
+    {0xfffffffeffffffffULL, 0x53bda402fffe5bfeULL, 0x3339d80809a1d805ULL,
+     0x73eda753299d7d48ULL},
+    0xfffffffeffffffffULL};
+
+// ---- generic point IO + MSM / fixed-base ----
+
+template <int NL, typename FQ>
+static inline Point<FQ> g1_load(const u64 *xy) {
+    Point<FQ> p;
+    u64 acc = 0;
+    for (int i = 0; i < 2 * NL; ++i) acc |= xy[i];
+    p.inf = (acc == 0);
+    if (p.inf) return p;
+    typename FQ::T x, y;
+    memcpy(x.v, xy, NL * 8);
+    memcpy(y.v, xy + NL, NL * 8);
+    p.X = FQ::to_mont(x);
+    p.Y = FQ::to_mont(y);
+    p.Z = FQ::one_mont();
+    return p;
+}
+
+template <int NL, typename FQ>
+static inline void g1_store(const Point<FQ> &p, u64 *xy) {
+    if (p.inf || FQ::is_zero(p.Z)) {
+        memset(xy, 0, 2 * NL * 8);
+        return;
+    }
+    auto zi = FQ::inv(p.Z);
+    auto zi2 = FQ::sq(zi);
+    auto x = FQ::from_mont(FQ::mul(p.X, zi2));
+    auto y = FQ::from_mont(FQ::mul(p.Y, FQ::mul(zi2, zi)));
+    memcpy(xy, x.v, NL * 8);
+    memcpy(xy + NL, y.v, NL * 8);
+}
+
+template <int NL, typename FQ, typename F2Q>
+static inline Point<F2Q> g2_load(const u64 *xy) {
+    Point<F2Q> p;
+    u64 acc = 0;
+    for (int i = 0; i < 4 * NL; ++i) acc |= xy[i];
+    p.inf = (acc == 0);
+    if (p.inf) return p;
+    typename FQ::T a, b, c, d;
+    memcpy(a.v, xy, NL * 8);
+    memcpy(b.v, xy + NL, NL * 8);
+    memcpy(c.v, xy + 2 * NL, NL * 8);
+    memcpy(d.v, xy + 3 * NL, NL * 8);
+    p.X = {FQ::to_mont(a), FQ::to_mont(b)};
+    p.Y = {FQ::to_mont(c), FQ::to_mont(d)};
+    typename FQ::T zero;
+    memset(zero.v, 0, NL * 8);
+    p.Z = {FQ::one_mont(), zero};
+    return p;
+}
+
+template <int NL, typename FQ, typename F2Q>
+static inline void g2_store(const Point<F2Q> &p, u64 *xy) {
+    if (p.inf || F2Q::is_zero(p.Z)) {
+        memset(xy, 0, 4 * NL * 8);
+        return;
+    }
+    auto zi = F2Q::inv(p.Z);
+    auto zi2 = F2Q::sq(zi);
+    auto x = F2Q::mul(p.X, zi2);
+    auto y = F2Q::mul(p.Y, F2Q::mul(zi2, zi));
+    auto xs0 = FQ::from_mont(x.c0), xs1 = FQ::from_mont(x.c1);
+    auto ys0 = FQ::from_mont(y.c0), ys1 = FQ::from_mont(y.c1);
+    memcpy(xy, xs0.v, NL * 8);
+    memcpy(xy + NL, xs1.v, NL * 8);
+    memcpy(xy + 2 * NL, ys0.v, NL * 8);
+    memcpy(xy + 3 * NL, ys1.v, NL * 8);
+}
+
+template <typename PT>
+static void msm_impl(const std::vector<PT> &pts, const u64 *scalars,
+                     size_t n, int sbits, PT &out) {
+    int window = 4;
+    {
+        size_t t = n;
+        int lg = 0;
+        while (t > 1) { t >>= 1; ++lg; }
+        window = lg > 4 ? (lg - 2 > 16 ? 16 : lg - 2) : 4;
+    }
+    int n_windows = (sbits + window - 1) / window;
+    std::vector<PT> partial(n_windows);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(dynamic)
+#endif
+    for (int w = 0; w < n_windows; ++w) {
+        std::vector<PT> buckets((size_t)1 << window);
+        for (auto &b : buckets) b.inf = true;
+        int shift = w * window;
+        int limb = shift / 64;
+        int off = shift % 64;
+        for (size_t i = 0; i < n; ++i) {
+            const u64 *s = scalars + 4 * i;
+            u64 idx = s[limb] >> off;
+            if (off + window > 64 && limb + 1 < 4)
+                idx |= s[limb + 1] << (64 - off);
+            idx &= (((u64)1 << window) - 1);
+            if (idx) buckets[idx] = pt_add(buckets[idx], pts[i]);
+        }
+        PT running, acc;
+        running.inf = true;
+        acc.inf = true;
+        for (size_t b = buckets.size() - 1; b >= 1; --b) {
+            running = pt_add(running, buckets[b]);
+            acc = pt_add(acc, running);
+        }
+        partial[w] = acc;
+    }
+    PT result;
+    result.inf = true;
+    for (int w = n_windows - 1; w >= 0; --w) {
+        if (w != n_windows - 1)
+            for (int i = 0; i < window; ++i) result = pt_double(result);
+        result = pt_add(result, partial[w]);
+    }
+    out = result;
+}
+
+template <typename PT>
+static void fixed_batch_impl(const PT &base, const u64 *scalars, u64 n,
+                             int sbits,
+                             void (*store)(const PT &, u64 *), u64 *out,
+                             int out_stride) {
+    const int W = 8;
+    const int NW = (sbits + W - 1) / W;
+    std::vector<PT> table((size_t)NW << W);
+    PT cur = base;
+    for (int w = 0; w < NW; ++w) {
+        PT *row = &table[(size_t)w << W];
+        row[0].inf = true;
+        for (int i = 1; i < (1 << W); ++i) row[i] = pt_add(row[i - 1], cur);
+        cur = pt_add(row[(1 << W) - 1], cur);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long long i = 0; i < (long long)n; ++i) {
+        const u64 *s = scalars + 4 * i;
+        PT acc;
+        acc.inf = true;
+        for (int w = 0; w < NW; ++w) {
+            int shift = w * W;
+            u64 idx = s[shift / 64] >> (shift % 64);
+            if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
+                idx |= s[shift / 64 + 1] << (64 - shift % 64);
+            idx &= ((1 << W) - 1);
+            if (idx) acc = pt_add(acc, table[((size_t)w << W) + idx]);
+        }
+        store(acc, out + out_stride * i);
+    }
+}
+
+// ---- curve instantiations ----
+
+typedef F<4, &BN_FQ> BNQ;
+typedef F2<BNQ> BNQ2;
+typedef F<6, &BLS_FQ> BLSQ;
+typedef F2<BLSQ> BLSQ2;
+
+static void bn_g1_store(const Point<BNQ> &p, u64 *xy) { g1_store<4, BNQ>(p, xy); }
+static void bn_g2_store(const Point<BNQ2> &p, u64 *xy) { g2_store<4, BNQ, BNQ2>(p, xy); }
+static void bls_g1_store(const Point<BLSQ> &p, u64 *xy) { g1_store<6, BLSQ>(p, xy); }
+static void bls_g2_store(const Point<BLSQ2> &p, u64 *xy) { g2_store<6, BLSQ, BLSQ2>(p, xy); }
+
+extern "C" {
+
+#define MSM_FN(name, NL, FQ, F2Q, LOAD1, LOAD2, STORE1, STORE2, SBITS)        \
+    void name##_g1_msm(const u64 *points, const u64 *scalars, u64 n,          \
+                       u64 *out) {                                            \
+        std::vector<Point<FQ>> pts(n);                                        \
+        _Pragma("omp parallel for schedule(static)")                          \
+        for (long long i = 0; i < (long long)n; ++i)                          \
+            pts[i] = LOAD1(points + 2 * NL * i);                              \
+        Point<FQ> r;                                                          \
+        msm_impl(pts, scalars, n, SBITS, r);                                  \
+        STORE1(r, out);                                                       \
+    }                                                                         \
+    void name##_g2_msm(const u64 *points, const u64 *scalars, u64 n,          \
+                       u64 *out) {                                            \
+        std::vector<Point<F2Q>> pts(n);                                       \
+        _Pragma("omp parallel for schedule(static)")                          \
+        for (long long i = 0; i < (long long)n; ++i)                          \
+            pts[i] = LOAD2(points + 4 * NL * i);                              \
+        Point<F2Q> r;                                                         \
+        msm_impl(pts, scalars, n, SBITS, r);                                  \
+        STORE2(r, out);                                                       \
+    }                                                                         \
+    void name##_g1_fixed_batch(const u64 *base, const u64 *scalars, u64 n,    \
+                               u64 *out) {                                    \
+        fixed_batch_impl(LOAD1(base), scalars, n, SBITS, STORE1, out,         \
+                         2 * NL);                                             \
+    }                                                                         \
+    void name##_g2_fixed_batch(const u64 *base, const u64 *scalars, u64 n,    \
+                               u64 *out) {                                    \
+        fixed_batch_impl(LOAD2(base), scalars, n, SBITS, STORE2, out,         \
+                         4 * NL);                                             \
+    }
+
+static inline Point<BNQ> bn_l1(const u64 *p) { return g1_load<4, BNQ>(p); }
+static inline Point<BNQ2> bn_l2(const u64 *p) { return g2_load<4, BNQ, BNQ2>(p); }
+static inline Point<BLSQ> bls_l1(const u64 *p) { return g1_load<6, BLSQ>(p); }
+static inline Point<BLSQ2> bls_l2(const u64 *p) { return g2_load<6, BLSQ, BLSQ2>(p); }
+
+MSM_FN(bn254, 4, BNQ, BNQ2, bn_l1, bn_l2, bn_g1_store, bn_g2_store, 254)
+MSM_FN(bls12381, 6, BLSQ, BLSQ2, bls_l1, bls_l2, bls_g1_store, bls_g2_store, 255)
+
+}  // extern "C"
+
+// ---- scalar-field NTT quotient (generic over FR params) ----
+
+template <typename FR>
+static void ntt_inplace(typename FR::T *buf, size_t n,
+                        const typename FR::T &w_mont) {
+    size_t j = 0;
+    for (size_t i = 1; i < n; ++i) {
+        size_t bit = n >> 1;
+        while (j & bit) { j ^= bit; bit >>= 1; }
+        j |= bit;
+        if (i < j) { auto t = buf[i]; buf[i] = buf[j]; buf[j] = t; }
+    }
+    for (size_t m = 2; m <= n; m <<= 1) {
+        auto wm = w_mont;
+        for (size_t s = n / m; s > 1; s >>= 1) wm = FR::mul(wm, wm);
+        size_t half = m >> 1;
+        std::vector<typename FR::T> tw(half);
+        tw[0] = FR::one_mont();
+        for (size_t k = 1; k < half; ++k) tw[k] = FR::mul(tw[k - 1], wm);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static) if (n / m > 8)
+#endif
+        for (long long blk = 0; blk < (long long)(n / m); ++blk) {
+            auto *base = buf + (size_t)blk * m;
+            for (size_t k = 0; k < half; ++k) {
+                auto t = FR::mul(base[k + half], tw[k]);
+                auto u = base[k];
+                base[k] = FR::add(u, t);
+                base[k + half] = FR::sub(u, t);
+            }
+        }
+    }
+}
+
+template <typename FR>
+static void witness_h_impl(u64 *az, u64 *bz, u64 *cz, u64 n,
+                           const u64 *w_limbs, const u64 *shift_limbs,
+                           const u64 *zinv_limbs, u64 *out) {
+    typedef typename FR::T T;
+    T w, shift, zinv;
+    memcpy(w.v, w_limbs, 32);
+    memcpy(shift.v, shift_limbs, 32);
+    memcpy(zinv.v, zinv_limbs, 32);
+    w = FR::to_mont(w);
+    shift = FR::to_mont(shift);
+    zinv = FR::to_mont(zinv);
+    T n_fr;
+    memset(n_fr.v, 0, 32);
+    n_fr.v[0] = n;
+    n_fr = FR::to_mont(n_fr);
+    T n_inv = FR::inv(n_fr);
+    T w_inv = FR::one_mont();
+    {
+        T cur = w;
+        for (u64 k = n - 1; k; k >>= 1) {
+            if (k & 1) w_inv = FR::mul(w_inv, cur);
+            cur = FR::mul(cur, cur);
+        }
+    }
+    T *a = new T[n], *b = new T[n], *c = new T[n];
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long long i = 0; i < (long long)n; ++i) {
+        T t;
+        memcpy(t.v, az + 4 * i, 32);
+        a[i] = FR::to_mont(t);
+        memcpy(t.v, bz + 4 * i, 32);
+        b[i] = FR::to_mont(t);
+        memcpy(t.v, cz + 4 * i, 32);
+        c[i] = FR::to_mont(t);
+    }
+    auto to_coset = [&](T *arr) {
+        ntt_inplace<FR>(arr, n, w_inv);
+        T sp = n_inv;
+        for (size_t j2 = 0; j2 < n; ++j2) {
+            arr[j2] = FR::mul(arr[j2], sp);
+            sp = FR::mul(sp, shift);
+        }
+        ntt_inplace<FR>(arr, n, w);
+    };
+    to_coset(a);
+    to_coset(b);
+    to_coset(c);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long long i = 0; i < (long long)n; ++i)
+        a[i] = FR::mul(FR::sub(FR::mul(a[i], b[i]), c[i]), zinv);
+    ntt_inplace<FR>(a, n, w_inv);
+    T shift_inv = FR::inv(shift);
+    T sp = n_inv;
+    for (size_t j2 = 0; j2 < n; ++j2) {
+        T r = FR::from_mont(FR::mul(a[j2], sp));
+        memcpy(out + 4 * j2, r.v, 32);
+        sp = FR::mul(sp, shift_inv);
+    }
+    delete[] a;
+    delete[] b;
+    delete[] c;
+}
+
+typedef F<4, &BN_FR> BNR;
+typedef F<4, &BLS_FR> BLSR;
+
+extern "C" {
+
+void bn254_fr_witness_h(u64 *az, u64 *bz, u64 *cz, u64 n, const u64 *w,
+                        const u64 *shift, const u64 *zinv, u64 *out) {
+    witness_h_impl<BNR>(az, bz, cz, n, w, shift, zinv, out);
+}
+
+void bls12381_fr_witness_h(u64 *az, u64 *bz, u64 *cz, u64 n, const u64 *w,
+                           const u64 *shift, const u64 *zinv, u64 *out) {
+    witness_h_impl<BLSR>(az, bz, cz, n, w, shift, zinv, out);
+}
+
+}  // extern "C"

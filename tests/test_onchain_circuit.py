@@ -117,3 +117,28 @@ def test_final_onchain_circuit_small():
     # tamper: flipped witness bit breaks the system
     b.w[5] = (b.w[5] + 1) % bn254.R
     assert not b.check()
+
+
+@pytest.mark.slow
+def test_final_onchain_circuit_bls12381():
+    """BLS12381-transcript proof verified inside the BLS12-381 Fr circuit."""
+    from eigen_zkvm_tpu.curves import bls12_381
+    from eigen_zkvm_tpu.hash import poseidon_bls12381
+
+    pil = load_pil(reference_fixture("fib.pil.json"))
+    ss = StarkStruct(nBits=10, nBitsExt=11, nQueries=2,
+                     verificationHashType="BLS12381",
+                     steps=[Step(11), Step(5)])
+    const_pols = PolsArray(pil, PolsArray.CONSTANT).load(
+        reference_fixture("fib.const"))
+    cm_pols = PolsArray(pil, PolsArray.COMMIT).load(
+        reference_fixture("fib.cm"))
+    setup = StarkSetup(const_pols, pil, ss)
+    proof = stark_gen(cm_pols, const_pols, setup.const_tree, setup.starkinfo,
+                      setup.program, ss, prover_addr="0xabc")
+    zkin = stark_proof_to_dict(proof, "BLS12381")
+    b = build_final_main(zkin, setup.starkinfo, setup.program, ss,
+                         setup.const_root, poseidon_bls12381,
+                         curve_r=bls12_381.R)
+    assert b.check()
+    assert b.n_publics == 1
