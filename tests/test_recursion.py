@@ -163,3 +163,34 @@ def test_c12_layer_prove_small(fib_proof):
     c12_proof, (c12_setup, c12_ss, psetup) = prove_compressed(
         zkin, setup, small, StarkOption(skip_main=True))
     assert int(c12_proof.publics[0, 0]) == int(zkin["publics"][0])
+
+
+@pytest.mark.slow
+def test_aggregation_tree_four_proofs(fib_proof):
+    """Fold four recursive1 proofs through one shared aggregation circuit
+    (reference: test/stark_aggregation.sh pairwise loop)."""
+    from eigen_zkvm_tpu.recursion.aggregation import aggregate_recursive1
+
+    pil = load_pil(reference_fixture("fib.pil.json.gl"))
+    Q = 2
+    base_ss = StarkStruct(nBits=10, nBitsExt=11, nQueries=Q,
+                          verificationHashType="GL",
+                          steps=[Step(11), Step(5)])
+    cp = PolsArray(pil, PolsArray.CONSTANT).load(
+        reference_fixture("fib.const.gl"))
+    cm = PolsArray(pil, PolsArray.COMMIT).load(
+        reference_fixture("fib.cm.gl"))
+    setup0 = StarkSetup(cp, pil, base_ss)
+    p0 = stark_gen(cm, cp, setup0.const_tree, setup0.starkinfo,
+                   setup0.program, base_ss)
+    zkin0 = stark_proof_to_dict(p0, "GL")
+    p1, (s1, ss1, _) = prove_compressed(
+        zkin0, setup0, base_ss, StarkOption(skip_main=True), n_queries=Q)
+    zkin1 = stark_proof_to_dict(p1, "GL")
+    p2, (s2, ss2, ps2) = prove_compressed(
+        zkin1, s1, ss1, StarkOption(), n_queries=Q, force_n_bits=15)
+    zkin2 = stark_proof_to_dict(p2, "GL")
+    final_zkin, (agg_setup, agg_ss, agg_ps) = aggregate_recursive1(
+        [zkin2] * 4, s2, ss2, force_n_bits=15, n_queries=Q)
+    # base public survives through every fold
+    assert final_zkin["publics"][0] == zkin0["publics"][0]
