@@ -12,7 +12,7 @@ Commands (mirroring the reference CLI):
   groth16_prove       SNARK proof of the final on-chain circuit
   groth16_verify      verify a SNARK proof json
   generate_verifier   render the Solidity verifier from a vk json
-  compile             (native) no circom toolchain needed — see help text
+  compile             compile a circom source (supported subset) to .r1cs/.wtns
 """
 from __future__ import annotations
 
@@ -240,15 +240,36 @@ def _cmd_generate_verifier(args):
 
 
 def _cmd_compile(args):
-    print("""This framework builds verifier circuits natively — there is no
-circom compilation step.  The equivalents are:
-  - recursion layers: compressor12_setup/compressor12_exec consume the
-    inner proof's zkin + PIL artifacts directly (or a circom .r1cs with
-    custom gates, for interop with externally compiled circuits)
-  - on-chain layer:   the BN254 circuit is built by
-    eigen_zkvm_tpu.recursion.stark_verifier_circuit_bn.build_final_main
-  - circom text (for the external toolchain) is still emitted by
-    stark_prove via --circom (stark/pil2circom.py)""")
+    """Compile a circom source (supported subset — dsl/circom.py) with the
+    given inputs into .r1cs + .wtns.  The recursion layers do NOT need
+    this: they build verifier circuits natively; this is the front door
+    for user-authored circom circuits."""
+    from .algebraic.r1cs_file import circuit_to_r1cs, save_r1cs
+    from .algebraic.witness import save_witness
+    from .dsl.elaborate import compile_circom
+
+    prime = {"goldilocks": 0xFFFFFFFF00000001,
+             "bn128": None, "bls12381": None}[args.prime]
+    if args.prime == "bn128":
+        from .curves import bn254
+        prime = bn254.R
+    elif args.prime == "bls12381":
+        from .curves import bls12_381
+        prime = bls12_381.R
+    inputs = {}
+    if args.input:
+        with open(args.input) as f:
+            inputs = {k: int(v) if not isinstance(v, list) else v
+                      for k, v in json.load(f).items()}
+    with open(args.circuit) as f:
+        src_text = f.read()
+    circuit = compile_circom(src_text, inputs,
+                             search_paths=args.link or [], prime=prime)
+    base = args.output or args.circuit.rsplit(".", 1)[0]
+    save_r1cs(base + ".r1cs", circuit_to_r1cs(circuit))
+    save_witness(base + ".wtns", circuit.w, circuit.P)
+    print(f"compile -> {base}.r1cs / {base}.wtns "
+          f"({len(circuit.constraints)} constraints, {circuit.n_vars} wires)")
 
 
 def main(argv=None):
@@ -333,7 +354,14 @@ def main(argv=None):
     p.add_argument("--sol", required=True)
     p.set_defaults(func=_cmd_generate_verifier)
 
-    p = sub.add_parser("compile", help="(native) circuit-building notes")
+    p = sub.add_parser("compile",
+                       help="compile a circom source (supported subset)")
+    p.add_argument("--circuit", "-i", required=True, help=".circom source")
+    p.add_argument("--prime", "-p", default="bn128",
+                   choices=["bn128", "bls12381", "goldilocks"])
+    p.add_argument("--input", help="inputs json (for the witness)")
+    p.add_argument("--link", "-l", action="append", help="include dirs")
+    p.add_argument("--output", "-o", help="output basename")
     p.set_defaults(func=_cmd_compile)
 
     args = ap.parse_args(argv)
