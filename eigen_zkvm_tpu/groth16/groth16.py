@@ -14,6 +14,7 @@ R1CS constraints are {signal: coef} dict triples with key 0 = the one-wire
 """
 from __future__ import annotations
 
+import os
 import secrets
 from dataclasses import dataclass
 
@@ -216,6 +217,12 @@ def _fixed_base_all(curve, base, scalars, g1: bool):
 
 
 def _msm(curve, points, scalars, g1: bool):
+    # opt-in accelerator path (BN254 G1 only): batched double-and-add on
+    # the TPU via ops/ec_jax.py — set EIGEN_ZKVM_TPU_MSM=1
+    if g1 and os.environ.get("EIGEN_ZKVM_TPU_MSM") == "1" \
+            and curve.P.bit_length() == 254:
+        from ..ops import ec_jax
+        return ec_jax.msm(points, [int(s) % curve.R for s in scalars])
     nat = _native_ec(curve)
     if nat is not None:
         return (nat.g1_msm if g1 else nat.g2_msm)(points, scalars)
