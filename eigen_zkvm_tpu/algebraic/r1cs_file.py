@@ -195,23 +195,32 @@ def save_r1cs(path: str, r1cs: R1CS):
 def circuit_to_r1cs(circuit) -> R1CS:
     """Export a recursion.circuit.CircuitBuilder to the .r1cs schema
     (gate template names indexed in declaration order)."""
-    names = []
-    for name, _ in circuit.custom_gates:
-        if name not in names:
-            names.append(name)
-    uses = [(names.index(name), sigs) for name, sigs in circuit.custom_gates]
+    # one gate definition per distinct (name, params) — circom convention
+    # (FFT4 gates carry their 9 twiddle constants as template params)
+    defs: list = []
+    uses = []
+    for entry in circuit.custom_gates:
+        name, sigs = entry[0], entry[1]
+        params = [int(c) for c in entry[2]] if len(entry) > 2 else []
+        key = (name, tuple(params))
+        if key not in defs:
+            defs.append(key)
+        uses.append((defs.index(key), sigs))
     return R1CS(
         prime=circuit.P, n_wires=circuit.n_vars, n_pub_out=0,
         n_pub_in=circuit.n_publics,
         n_prv_in=circuit.n_vars - circuit.n_publics - 1,
         n_labels=circuit.n_vars, constraints=list(circuit.constraints),
         wire_map=list(range(circuit.n_vars)),
-        custom_gates=[(n, []) for n in names], custom_gates_uses=uses)
+        custom_gates=[(n, list(p)) for n, p in defs], custom_gates_uses=uses)
 
 
 def r1cs_to_circuit_inputs(r1cs: R1CS):
     """(constraints, custom_gates named, n_vars, n_publics) for the
     compressor / groth16 entry points."""
-    gates = [(r1cs.custom_gates[gid][0], sigs)
-             for gid, sigs in r1cs.custom_gates_uses]
+    gates = []
+    for gid, sigs in r1cs.custom_gates_uses:
+        name, params = r1cs.custom_gates[gid]
+        gates.append((name, sigs, tuple(int(p) for p in params))
+                     if params else (name, sigs))
     return r1cs.constraints, gates, r1cs.n_wires, r1cs.n_publics

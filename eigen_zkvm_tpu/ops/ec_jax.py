@@ -196,14 +196,10 @@ def msm(points_affine, scalars):
     m = max(32, 1 << (n - 1).bit_length())
     points_affine = list(points_affine) + [None] * (m - n)
     pts = load_points(points_affine)
-    bits = np.zeros((NBITS, m), dtype=bool)
-    for i, s in enumerate(scalars):
-        s = int(s)
-        k = 0
-        while s:
-            if s & 1:
-                bits[k, i] = True
-            s >>= 1
-            k += 1
-    out = _msm_core(*pts, jnp.asarray(bits))
+    nbytes = (NBITS + 7) // 8
+    raw = b"".join(int(s).to_bytes(nbytes, "little") for s in scalars)
+    by = np.frombuffer(raw, dtype=np.uint8).reshape(n, nbytes)
+    bits = np.zeros((m, NBITS), dtype=bool)
+    bits[:n] = np.unpackbits(by, axis=1, bitorder="little")[:, :NBITS]
+    out = _msm_core(*pts, jnp.asarray(bits.T))
     return store_point(out)

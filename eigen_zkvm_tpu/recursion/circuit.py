@@ -298,6 +298,65 @@ class CircuitBuilder:
         for i in range(3):
             self.assert_eq(a[i], b[i])
 
+    # ---- EvPol4 custom gate ----
+    def ev_pol4(self, cs, x, acc):
+        """One EVPOL4 gate: out = (((acc*x + c3)*x + c2)*x + c1)*x + c0
+        over GF(p^3), where cs = [c0, c1, c2, c3] F3 triples.  Occupies two
+        trace rows (coefficients row + acc/x/out row) instead of the four
+        CMulAdd rows a Horner chain would take (reference gate:
+        compressor12_pil.rs:334-356)."""
+        assert len(cs) == 4
+        s_cs = [self.materialize(w) for c in cs for w in c]
+        s_ax = [self.materialize(w) for w in acc] + \
+               [self.materialize(w) for w in x]
+        from ..fields import f3g
+        av, xv = self.f3_val(acc), self.f3_val(x)
+        for c in reversed(cs):
+            av = f3g.add(f3g.mul(av, xv), self.f3_val(c))
+        so = [self.sig(int(v)) for v in av]
+        if self.record:
+            self.custom_gates.append(("EvPol4", s_cs + s_ax + so))
+        Wc = self.W
+        return (Wc({so[0]: 1}), Wc({so[1]: 1}), Wc({so[2]: 1}))
+
+    # ---- FFT4 custom gate ----
+    @staticmethod
+    def fft4_map(C, v, p):
+        """The FFT4 gate's structured linear map (per GL component):
+        4 inputs -> 4 outputs with 9 free constants (matches the
+        compressor12_pil.py FFT4 identities / compressor12_pil.rs:215-242).
+        By constant choice this expresses a radix-4 NTT butterfly or two
+        independent radix-2 butterflies."""
+        v0, v1, v2, v3 = v
+        o0 = ((C[0] + C[6]) * v0 + (C[1] + C[7]) * v1
+              + C[2] * v2 + C[3] * v3)
+        o1 = ((C[0] + C[6]) * v0 - (C[1] + C[7]) * v1
+              + C[4] * v2 - C[5] * v3)
+        o2 = (C[0] * v0 + C[1] * v1
+              + (C[6] - C[2]) * v2 + (C[8] - C[3]) * v3)
+        o3 = (C[0] * v0 - C[1] * v1
+              + (C[6] - C[4]) * v2 + (C[5] - C[8]) * v3)
+        return [o0 % p, o1 % p, o2 % p, o3 % p]
+
+    def fft4(self, v, consts):
+        """One FFT4 gate: 4 F3 triples in, 4 F3 triples out via fft4_map
+        with per-gate constants C0..C8 (GL scalars applied componentwise).
+        Two trace rows per gate."""
+        assert len(v) == 4 and len(consts) == 9
+        s_in = [self.materialize(w) for t in v for w in t]
+        vals = [[0 if s == 0 else self.w[s] for s in s_in[g * 3 : g * 3 + 3]]
+                for g in range(4)]
+        outs = []
+        for e in range(3):
+            outs.append(self.fft4_map(consts, [vals[g][e] for g in range(4)],
+                                      self.P))
+        s_out = [self.sig(outs[e][g]) for g in range(4) for e in range(3)]
+        if self.record:
+            self.custom_gates.append(("FFT4", s_in + s_out, tuple(consts)))
+        Wc = self.W
+        return [tuple(Wc({s_out[g * 3 + e]: 1}) for e in range(3))
+                for g in range(4)]
+
     # ---- Poseidon (t=12) custom gate ----
     def poseidon(self, state: list[int]) -> list[int]:
         """One Poseidon-GL permutation over 12 *signal ids*; returns 12
@@ -340,7 +399,8 @@ class CircuitBuilder:
         def gv(s):
             return 0 if s == 0 else self.w[s]
 
-        for name, sigs in self.custom_gates:
+        for entry in self.custom_gates:
+            name, sigs = entry[0], entry[1]
             if name == "Poseidon12":
                 for j in range(30):
                     cur = [gv(s) for s in sigs[j * 12 : (j + 1) * 12]]
@@ -362,6 +422,23 @@ class CircuitBuilder:
                 o = np.array(g[9:12], dtype=np.uint64)
                 if not np.array_equal(f3g.add(f3g.mul(a, b), c), o):
                     return False
+            elif name == "EvPol4":
+                g = [gv(s) for s in sigs]
+                acc = np.array(g[12:15], dtype=np.uint64)
+                x = np.array(g[15:18], dtype=np.uint64)
+                for k in (3, 2, 1, 0):
+                    cof = np.array(g[k * 3 : k * 3 + 3], dtype=np.uint64)
+                    acc = f3g.add(f3g.mul(acc, x), cof)
+                if [int(v) for v in acc] != g[18:21]:
+                    return False
+            elif name == "FFT4":
+                g = [gv(s) for s in sigs]
+                consts = entry[2]
+                for e in range(3):
+                    got = self.fft4_map(
+                        consts, [g[gr * 3 + e] for gr in range(4)], self.P)
+                    if got != [g[12 + gr * 3 + e] for gr in range(4)]:
+                        return False
             else:
                 return False
         return True

@@ -136,12 +136,60 @@ def tree_selector(b: CircuitBuilder, values, key_bits: list[W]):
     return cur[0]
 
 
+def _ntt_fft4(b: CircuitBuilder, vals):
+    """Forward NTT over F3 W-triples via FFT4 custom gates: radix-4 DIT
+    stages (one gate per 4-point butterfly, 2 trace rows) plus one radix-2
+    stage when log2(n) is odd (two 2-point butterflies per gate).  The
+    pil-stark recursive circuits use the same gate for this (reference:
+    compressor12_pil.rs FFT4 / starkinfo fft plan); the radix-2 lowering of
+    the previous revision cost ~6 materialization gates per butterfly."""
+    m = len(vals)
+    if m == 1:
+        return list(vals)
+    nbits = m.bit_length() - 1
+    w_m = _root_int(nbits)
+    out = [None] * m
+    if nbits % 2 == 0:
+        # radix-4 DIT: X[t + k*m/4] from sub-NTTs of the 4 residue classes
+        A = _ntt_fft4(b, vals[0::4])
+        B = _ntt_fft4(b, vals[1::4])
+        C = _ntt_fft4(b, vals[2::4])
+        D = _ntt_fft4(b, vals[3::4])
+        i4 = pow(w_m, m // 4, P)
+        for t in range(m // 4):
+            om = pow(w_m, t, P)
+            om2 = om * om % P
+            om3 = om2 * om % P
+            consts = [1, i4 * om % P, om2, om3, om2, om3, 0,
+                      (1 - i4) * om % P, (1 - i4) * om3 % P]
+            o = b.fft4([A[t], B[t], C[t], D[t]], consts)
+            out[t] = o[0]
+            out[t + m // 4] = o[2]
+            out[t + m // 2] = o[1]
+            out[t + 3 * m // 4] = o[3]
+    else:
+        # odd log2: one radix-2 stage on top, two butterflies per gate
+        E = _ntt_fft4(b, vals[0::2])
+        F = _ntt_fft4(b, vals[1::2])
+        half = m // 2
+        if half == 1:  # m == 2: single linear butterfly, no gate needed
+            return [tuple(E[0][e] + F[0][e] for e in range(3)),
+                    tuple(E[0][e] - F[0][e] for e in range(3))]
+        for t in range(0, half, 2):
+            consts = [0, 0, 0, 0, 0, 0, 1,
+                      pow(w_m, t, P), pow(w_m, t + 1, P)]
+            o = b.fft4([E[t], F[t], E[t + 1], F[t + 1]], consts)
+            out[t] = o[0]
+            out[t + half] = o[1]
+            out[t + 1] = o[2]
+            out[t + 1 + half] = o[3]
+    return out
+
+
 def group_intt(b: CircuitBuilder, values) -> list:
-    """iNTT over a list of F3 triples of W wires, as a radix-2 butterfly
-    network (the pil-stark analog uses FFT4 custom gates; here each stage is
-    linear and stage outputs are re-materialized so linear combinations stay
-    2 terms wide — O(n log n) sum gates instead of O(n^2) lc terms).
-    Output matches poly/ntt.intt: forward NTT then index-reverse + 1/n."""
+    """iNTT over a list of F3 triples of W wires via FFT4 custom gates.
+    Output matches poly/ntt.intt: forward NTT then index-reverse + 1/n
+    (both free — pure linear-combination reindex/scale)."""
     n = len(values)
     nbits = n.bit_length() - 1
     assert 1 << nbits == n
@@ -161,32 +209,7 @@ def group_intt(b: CircuitBuilder, values) -> list:
             out.append(tuple(acc))
         return out
 
-    rev = [0] * n
-    for i in range(n):
-        r = 0
-        for bit in range(nbits):
-            r |= ((i >> bit) & 1) << (nbits - 1 - bit)
-        rev[i] = r
-    buf = [values[rev[i]] for i in range(n)]
-    w_n = _root_int(nbits)
-    for s in range(1, nbits + 1):
-        m = 1 << s
-        half = m >> 1
-        nxt = list(buf)
-        for blk in range(n // m):
-            for j in range(half):
-                tw = pow(w_n, j * (n // m), P)
-                lo = buf[blk * m + j]
-                hi = buf[blk * m + half + j]
-                t = tuple(hi[e].scale(tw) for e in range(3))
-                a = tuple(lo[e] + t[e] for e in range(3))
-                c = tuple(lo[e] - t[e] for e in range(3))
-                if s < nbits:  # keep lcs narrow for the next stage
-                    a = tuple(b.wire(b.materialize(x)) for x in a)
-                    c = tuple(b.wire(b.materialize(x)) for x in c)
-                nxt[blk * m + j] = a
-                nxt[blk * m + half + j] = c
-        buf = nxt
+    buf = _ntt_fft4(b, list(values))
     n_inv = pow(n, P - 2, P)
     out = [tuple(x.scale(n_inv) for x in buf[0])]
     for i in range(n - 1, 0, -1):
@@ -199,10 +222,21 @@ def _root_int(nbits: int) -> int:
 
 
 def eval_pol(b: CircuitBuilder, pol, x):
-    """Horner evaluation of F3 coefficient triples at F3 x (EvalPol)."""
-    if len(pol) == 1:
+    """Horner evaluation of F3 coefficient triples at F3 x via EVPOL4
+    custom gates: each gate folds four coefficients in two trace rows
+    (vs four CMulAdd rows), top chunk zero-padded (reference: EvalPol
+    template / compressor12_pil.rs EVPOL4)."""
+    n = len(pol)
+    if n == 1:
         return pol[0]
-    acc = pol[-1]
-    for i in range(len(pol) - 2, -1, -1):
-        acc = b.f3_mul(acc, x, pol[i])
+    if n <= 4:
+        acc = pol[-1]
+        for i in range(n - 2, -1, -1):
+            acc = b.f3_mul(acc, x, pol[i])
+        return acc
+    zero = (W(), W(), W())
+    padded = list(pol) + [zero] * (-n % 4)
+    acc = zero
+    for k in range(len(padded) - 4, -1, -4):
+        acc = b.ev_pol4(padded[k : k + 4], x, acc)
     return acc

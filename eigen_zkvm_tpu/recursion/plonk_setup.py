@@ -115,7 +115,8 @@ def _pack(n_publics, n_public_rows, gates, custom_gates):
             rows_c[row][ci] = 0
 
     CP, _ = _poseidon_tables()
-    for name, sigs in custom_gates:
+    for entry in custom_gates:
+        name, sigs = entry[0], entry[1]
         if name == "Poseidon12":
             assert len(sigs) == 31 * 12
             for j in range(31):
@@ -139,8 +140,14 @@ def _pack(n_publics, n_public_rows, gates, custom_gates):
             r = new_row()
             rows_s[r][0:9] = sigs[12:21]
         elif name == "FFT4":
-            raise NotImplementedError(
-                "native circuits lower group FFTs to linear combinations")
+            assert len(sigs) == 24
+            consts = entry[2]
+            r = new_row()
+            rows_s[r][:] = sigs[:12]
+            rows_c[r][0:9] = [int(c) % P for c in consts]
+            rows_c[r][_SEL["FFT4"]] = 1
+            r = new_row()                 # output row (next of the gate row)
+            rows_s[r][:] = sigs[12:24]
         else:
             raise ValueError(name)
     return rows_c, rows_s
