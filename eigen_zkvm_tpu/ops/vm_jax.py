@@ -1,0 +1,278 @@
+"""Device executor for compiled constraint Segments — the quotient pass
+on the TPU.
+
+Mirrors stark/vm.py (the column-vectorized numpy executor) over
+ops/gl_jax.py limb pairs: every 3-address Section becomes a whole-column
+GL/F3 vector op, the section stream is traced ONCE per (segment, domain)
+into a single XLA computation, and XLA fuses the chain into a handful of
+TPU kernels.  The reference's per-row bytecode interpreter
+(starky/src/interpreter.rs) is the hot prover loop this replaces.
+
+Opt-in via EIGEN_ZKVM_TPU_VM=1 (stark/stark_gen.py dispatches here);
+only the sections a segment actually reads/writes are transferred.
+"""
+from __future__ import annotations
+
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import gl_jax as g
+from ..stark.types import parse_pil_number
+
+# GL value on device: (lo, hi) u32 pair, arrays [n, width]
+
+
+def _roll(a, k: int):
+    if k == 0:
+        return a
+    return (jnp.roll(a[0], -k, axis=0), jnp.roll(a[1], -k, axis=0))
+
+
+def _f3_mul(a, b):
+    """F3G product over GL pairs with last axis 3 (fields/f3g.py mul)."""
+    def c(x, i):
+        return (x[0][..., i : i + 1], x[1][..., i : i + 1])
+    a0, a1, a2 = c(a, 0), c(a, 1), c(a, 2)
+    b0, b1, b2 = c(b, 0), c(b, 1), c(b, 2)
+    aa = g.mul(g.add(a0, a1), g.add(b0, b1))
+    bb = g.mul(g.add(a0, a2), g.add(b0, b2))
+    cc = g.mul(g.add(a1, a2), g.add(b1, b2))
+    dd = g.mul(a0, b0)
+    ee = g.mul(a1, b1)
+    ff = g.mul(a2, b2)
+    gg = g.sub(dd, ee)
+    c0 = g.sub(g.add(cc, gg), ff)
+    c1 = g.sub(g.add(aa, cc), g.add(g.add(ee, ee), dd))
+    c2 = g.sub(bb, gg)
+    return (jnp.concatenate([c0[0], c1[0], c2[0]], axis=-1),
+            jnp.concatenate([c0[1], c1[1], c2[1]], axis=-1))
+
+
+def _set_c0(a, v):
+    """Replace component 0 of an F3 pair with GL pair v ([n,1])."""
+    return (jnp.concatenate([v[0], a[0][:, 1:]], axis=-1),
+            jnp.concatenate([v[1], a[1][:, 1:]], axis=-1))
+
+
+def _binop(op: str, a, da: int, b, db: int):
+    if op == "mul":
+        if da == db == 1:
+            return g.mul(a, b), 1
+        if da == 3 and db == 3:
+            return _f3_mul(a, b), 3
+        if da == 3:
+            return g.mul(a, b), 3            # [n,3] * [n,1] broadcast
+        return g.mul(b, a), 3
+    if op == "add":
+        if da == db:
+            return g.add(a, b), da
+        if da == 3:
+            return _set_c0(a, g.add((a[0][:, :1], a[1][:, :1]), b)), 3
+        return _set_c0(b, g.add((b[0][:, :1], b[1][:, :1]), a)), 3
+    if op == "sub":
+        if da == db:
+            return g.sub(a, b), da
+        if da == 3:
+            return _set_c0(a, g.sub((a[0][:, :1], a[1][:, :1]), b)), 3
+        nb = g.neg(b)
+        return _set_c0(nb, g.sub(a, (b[0][:, :1], b[1][:, :1]))), 3
+    raise ValueError(op)
+
+
+def _analyze(ctx, segment, dom: str):
+    """(read sections, written sections, aux reads) for one segment."""
+    si = ctx.starkinfo
+    reads, writes, aux = set(), set(), set()
+
+    def sec_of(node, write):
+        t = node.type_
+        if t == "const":
+            reads.add("const_n" if dom == "n" else "const_2ns")
+        elif t in ("cm", "tmpExp"):
+            if t == "cm":
+                pol_id = si.cm_n[node.id] if dom == "n" else si.cm_2ns[node.id]
+            else:
+                pol_id = si.tmpexp_n[node.id]
+            name = si.var_pol_map[pol_id].section
+            (writes if write else reads).add(name)
+        elif t == "q":
+            writes.add("q_2ns")
+        elif t == "f":
+            writes.add("f_2ns")
+        elif t == "x":
+            aux.add("x_n" if dom == "n" else "x_2ns")
+        elif t == "Zi":
+            aux.add("zhinv_2ns")
+        elif t == "xDivXSubXi":
+            aux.add("x_div_x_sub_xi")
+        elif t == "xDivXSubWXi":
+            aux.add("x_div_x_sub_wxi")
+        elif t == "public":
+            aux.add("publics")
+        elif t == "challenge":
+            aux.add("challenges")
+        elif t == "eval":
+            aux.add("evals")
+
+    for sec in segment.first:
+        for s in sec.src:
+            sec_of(s, write=False)
+        sec_of(sec.dest, write=True)
+    return reads, writes, aux
+
+
+def _trace_segment(si, segment, dom: str, nbits: int, nbits_ext: int,
+                   state: dict):
+    """Pure function of `state` (dict name -> GL pair); returns the updated
+    written sections.  Called under jax.jit."""
+    n = (1 << nbits) if dom == "n" else (1 << nbits_ext)
+    next_ = 1 if dom == "n" else (1 << (nbits_ext - nbits))
+    bufs = dict(state)
+    tmps: dict = {}
+
+    def read(node):
+        t = node.type_
+        if t == "tmp":
+            return tmps[node.id]
+        if t == "const":
+            buf = bufs["const_n" if dom == "n" else "const_2ns"]
+            col = (buf[0][:, node.id : node.id + 1],
+                   buf[1][:, node.id : node.id + 1])
+            if node.prime:
+                col = _roll(col, 1 if dom == "n" else next_)
+            return col, 1
+        if t in ("cm", "tmpExp"):
+            if t == "cm":
+                pol_id = si.cm_n[node.id] if dom == "n" else si.cm_2ns[node.id]
+            else:
+                pol_id = si.tmpexp_n[node.id]
+            p = si.var_pol_map[pol_id]
+            buf = bufs[p.section]
+            col = (buf[0][:, p.section_pos : p.section_pos + p.dim],
+                   buf[1][:, p.section_pos : p.section_pos + p.dim])
+            if node.prime:
+                col = _roll(col, next_)
+            return col, p.dim
+        if t == "number":
+            v = parse_pil_number(node.value)
+            return (jnp.full((n, 1), v & 0xFFFFFFFF, jnp.uint32),
+                    jnp.full((n, 1), v >> 32, jnp.uint32)), 1
+        if t == "public":
+            p = bufs["publics"]
+            return (jnp.broadcast_to(p[0][node.id : node.id + 1, 0:1], (n, 1)),
+                    jnp.broadcast_to(p[1][node.id : node.id + 1, 0:1], (n, 1))), 1
+        if t == "challenge":
+            ch = bufs["challenges"]
+            return (jnp.broadcast_to(ch[0][node.id][None, :], (n, 3)),
+                    jnp.broadcast_to(ch[1][node.id][None, :], (n, 3))), 3
+        if t == "eval":
+            e = bufs["evals"]
+            return (jnp.broadcast_to(e[0][node.id][None, :], (n, 3)),
+                    jnp.broadcast_to(e[1][node.id][None, :], (n, 3))), 3
+        if t == "x":
+            x = bufs["x_n" if dom == "n" else "x_2ns"]
+            return (x[0][:, None], x[1][:, None]), 1
+        if t == "Zi":
+            z = bufs["zhinv_2ns"]
+            return (z[0][:, None], z[1][:, None]), 1
+        if t == "xDivXSubXi":
+            return bufs["x_div_x_sub_xi"], 3
+        if t == "xDivXSubWXi":
+            return bufs["x_div_x_sub_wxi"], 3
+        raise ValueError(f"Invalid reference type get {t}")
+
+    written = set()
+    for sec in segment.first:
+        if sec.op in ("add", "sub", "mul"):
+            a, da = read(sec.src[0])
+            b, db = read(sec.src[1])
+            val, dv = _binop(sec.op, a, da, b, db)
+        elif sec.op == "muladd":
+            a, da = read(sec.src[0])
+            b, db = read(sec.src[1])
+            c, dc = read(sec.src[2])
+            val, dv = _binop("mul", a, da, b, db)
+            val, dv = _binop("add", val, dv, c, dc)
+        elif sec.op == "copy":
+            val, dv = read(sec.src[0])
+        else:
+            raise ValueError(f"Invalid op {sec.op}")
+
+        dest = sec.dest
+        if dest.type_ == "tmp":
+            tmps[dest.id] = (val, dv)
+            continue
+        if dest.type_ in ("cm", "tmpExp"):
+            pol_id = (si.cm_n[dest.id] if dom == "n" else si.cm_2ns[dest.id]) \
+                if dest.type_ == "cm" else si.tmpexp_n[dest.id]
+            p = si.var_pol_map[pol_id]
+            name, off, width = p.section, p.section_pos, p.dim
+        elif dest.type_ == "q":
+            name, off, width = "q_2ns", dest.id, si.q_dim
+        elif dest.type_ == "f":
+            name, off, width = "f_2ns", dest.id, 3
+        else:
+            raise ValueError(f"Invalid reference type set {dest.type_}")
+
+        lo, hi = val
+        if dv < width:
+            pad = width - dv
+            lo = jnp.concatenate([lo, jnp.zeros((n, pad), jnp.uint32)], -1)
+            hi = jnp.concatenate([hi, jnp.zeros((n, pad), jnp.uint32)], -1)
+        elif dv > width:
+            raise ValueError("dim overflow on write")
+        if dest.prime:
+            lo = jnp.roll(lo, next_, axis=0)
+            hi = jnp.roll(hi, next_, axis=0)
+        buf = bufs[name]
+        bufs[name] = (buf[0].at[:, off : off + width].set(lo),
+                      buf[1].at[:, off : off + width].set(hi))
+        written.add(name)
+    return {k: bufs[k] for k in written}
+
+
+_jit_cache: dict = {}
+
+
+def _split64(a: np.ndarray):
+    a = np.ascontiguousarray(a)
+    return (jnp.asarray((a & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
+            jnp.asarray((a >> np.uint64(32)).astype(np.uint32)))
+
+
+def _join64(lo, hi) -> np.ndarray:
+    return (np.asarray(lo).astype(np.uint64)
+            | (np.asarray(hi).astype(np.uint64) << np.uint64(32)))
+
+
+def execute_segment(ctx, segment, dom: str):
+    """Drop-in for stark/vm.execute_segment: upload the segment's read/write
+    sets, run the jitted trace, scatter results back into ctx.sections."""
+    si = ctx.starkinfo
+    reads, writes, aux = _analyze(ctx, segment, dom)
+
+    state = {}
+    for name in reads | writes:
+        state[name] = _split64(ctx.sections[name])
+    for name in aux:
+        arr = getattr(ctx, name) if name != "publics" else ctx.publics
+        state[name] = _split64(np.asarray(arr))
+
+    key = (id(segment), dom, ctx.nbits, ctx.nbits_ext)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        fn = jax.jit(lambda st: _trace_segment(
+            si, segment, dom, ctx.nbits, ctx.nbits_ext, st))
+        _jit_cache[key] = fn
+    out = fn(state)
+    for name, pair in out.items():
+        ctx.sections[name][:, :] = _join64(pair[0], pair[1])
+
+
+def enabled() -> bool:
+    """Env-gated only: the executor is backend-agnostic (tests run it on
+    CPU; production points it at the TPU via the default device)."""
+    return bool(os.environ.get("EIGEN_ZKVM_TPU_VM"))

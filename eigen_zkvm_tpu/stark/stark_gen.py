@@ -23,6 +23,19 @@ from .fri import FRI, FRIProof
 from .vm import ProverContext, execute_segment
 
 
+def _exec_segment(ctx, segment, dom):
+    """Dispatch one compiled segment to the device executor when enabled
+    (EIGEN_ZKVM_TPU_VM=1, ops/vm_jax.py) else the numpy column VM."""
+    import os
+
+    if os.environ.get("EIGEN_ZKVM_TPU_VM"):
+        from ..ops import vm_jax
+
+        if vm_jax.enabled():
+            return vm_jax.execute_segment(ctx, segment, dom)
+    execute_segment(ctx, segment, dom)
+
+
 class StarkProof:
     def __init__(self):
         self.root1 = self.root2 = self.root3 = self.root4 = None
@@ -180,7 +193,7 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     ctx.challenges[0] = transcript.get_field()  # u
     ctx.challenges[1] = transcript.get_field()  # defVal
 
-    execute_segment(ctx, program.step2prev, "n")
+    _exec_segment(ctx, program.step2prev, "n")
     for pu in starkinfo.pu_ctx:
         f_pol = get_pol(ctx, starkinfo.exp2pol[pu.f_exp_id])
         t_pol = get_pol(ctx, starkinfo.exp2pol[pu.t_exp_id])
@@ -196,7 +209,7 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     ctx.challenges[2] = transcript.get_field()  # gamma
     ctx.challenges[3] = transcript.get_field()  # beta
 
-    execute_segment(ctx, program.step3prev, "n")
+    _exec_segment(ctx, program.step3prev, "n")
     for o in list(starkinfo.pu_ctx) + list(starkinfo.pe_ctx) + list(starkinfo.ci_ctx):
         p_num = get_pol(ctx, starkinfo.exp2pol[o.num_id])
         p_den = get_pol(ctx, starkinfo.exp2pol[o.den_id])
@@ -204,14 +217,14 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
         set_pol(ctx, starkinfo.cm_n[n_cm], z)
         n_cm += 1
 
-    execute_segment(ctx, program.step3, "n")
+    _exec_segment(ctx, program.step3, "n")
 
     # ---- stage 3
     tree3 = _extend_and_merkelize(ctx, "cm3_n", merkle_cls)
     transcript.put_root(tree3.root())
     ctx.challenges[4] = transcript.get_field()  # vc
 
-    execute_segment(ctx, program.step42ns, "2ns")
+    _exec_segment(ctx, program.step42ns, "2ns")
 
     # Q split: monomial blocks of size N, coset-unscale, recombine on ext domain
     q_dim, q_deg = starkinfo.q_dim, starkinfo.q_deg
@@ -275,7 +288,7 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     ctx.x_div_x_sub_xi = f3g.mul_base(f3g.inv(den), x_buff)
     ctx.x_div_x_sub_wxi = f3g.mul_base(f3g.inv(denw), x_buff)
 
-    execute_segment(ctx, program.step52ns, "2ns")
+    _exec_segment(ctx, program.step52ns, "2ns")
     fri_pol = ctx.sections["f_2ns"].copy()
 
     def query_pol(idx: int):
