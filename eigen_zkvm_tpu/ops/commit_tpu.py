@@ -3,9 +3,11 @@
 The prover's dominant stage (extend_and_merkelize, reference
 stark_gen.rs:710) executed on the TPU: one jitted program does the coset
 LDE of all columns and hashes every tree level (Pallas Poseidon when
-available, fused-XLA otherwise); only the final level list is pulled back.
-Enabled with EIGEN_ZKVM_TPU_COMMIT=1 (stark/stark_gen.py checks it), or
-used directly.  The multi-chip variant is parallel/sharded.py.
+available, fused-XLA otherwise).  The tree NODES STAY ON DEVICE — only the
+root (32 B) comes back eagerly; query-time sibling paths are fetched with
+one gather per (tree, index), so the ~2x-elements node volume never rides
+the host link.  Enabled with EIGEN_ZKVM_TPU_COMMIT=1 (stark/stark_gen.py
+checks it), or used directly.  The multi-chip variant is parallel/sharded.py.
 """
 from __future__ import annotations
 
@@ -37,43 +39,133 @@ def _join(lo, hi) -> np.ndarray:
 def _lde_and_levels(lo, hi, nbits: int, nbits_ext: int, n_pols: int):
     lde = ntt_jax.interpolate((lo, hi), nbits, nbits_ext)
     levels = pj.merkle_levels(lde, n_pols, 1 << nbits_ext)
-    return lde, levels
+    flat = (jnp.concatenate([l[0] for l in levels], axis=0),
+            jnp.concatenate([l[1] for l in levels], axis=0))
+    return lde, flat, [l[0].shape[0] for l in levels]
+
+
+@partial(jax.jit, static_argnames=("width", "height"))
+def _levels_only(lo, hi, width: int, height: int):
+    levels = pj.merkle_levels((lo, hi), width, height)
+    flat = (jnp.concatenate([l[0] for l in levels], axis=0),
+            jnp.concatenate([l[1] for l in levels], axis=0))
+    return flat, [l[0].shape[0] for l in levels]
+
+
+@jax.jit
+def _gather_rows(flat_lo, flat_hi, idxs):
+    return flat_lo[idxs], flat_hi[idxs]
+
+
+class DeviceMerkleTreeGL(MerkleTreeGL):
+    """MerkleTreeGL whose node levels live on the accelerator.
+
+    Proof format and root are identical to the host tree; only the storage
+    differs.  `levels` is intentionally left empty."""
+
+    def __init__(self, flat_pair, sizes):
+        super().__init__()
+        self._flat = flat_pair               # (lo, hi) device [total, 4]
+        self._sizes = sizes                  # nodes per level
+        self._offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        self._root = None
+
+    def root(self) -> np.ndarray:
+        if self._root is None:
+            lo, hi = _gather_rows(*self._flat,
+                                  jnp.asarray([self._offsets[-1]]))
+            self._root = _join(lo, hi)[0]
+        return self._root
+
+    def get_group_proof(self, idx: int):
+        assert idx < self.height
+        v = self.elements[idx].copy()
+        depth = len(self._sizes) - 1
+        idxs = np.zeros(depth, dtype=np.int64)
+        mask = np.zeros(depth, dtype=bool)
+        i = idx
+        for lvl in range(depth):
+            sib = i ^ 1
+            if sib < self._sizes[lvl]:
+                idxs[lvl] = self._offsets[lvl] + sib
+                mask[lvl] = True
+            i >>= 1
+        lo, hi = _gather_rows(*self._flat, jnp.asarray(idxs))
+        rows = _join(lo, hi)
+        rows[~mask] = 0                      # zero-digest pad siblings
+        return v, [rows[lvl] for lvl in range(depth)]
 
 
 def tpu_extend_and_merkelize(buf: np.ndarray, nbits: int,
-                             nbits_ext: int) -> MerkleTreeGL:
-    """buf: [N, n_pols] u64 trace section -> MerkleTreeGL over its LDE,
-    computed on the default (TPU) device."""
+                             nbits_ext: int, cache: dict | None = None,
+                             cache_key: str | None = None) -> MerkleTreeGL:
+    """buf: [N, n_pols] u64 trace section -> Merkle tree over its LDE,
+    computed on the default (TPU) device.  When `cache` is given, the
+    device-resident LDE limb pair is deposited under `cache_key` so later
+    device passes (ops/vm_jax.py) skip the re-upload."""
     n_pols = buf.shape[1]
     if n_pols == 0:
         return MerkleTreeGL().merkelize(
             np.zeros((1 << nbits_ext, 0), dtype=np.uint64), 0, 1 << nbits_ext)
     lo, hi = _split(np.ascontiguousarray(buf))
-    lde, levels = _lde_and_levels(lo, hi, nbits, nbits_ext, n_pols)
-    tree = MerkleTreeGL()
+    lde, flat, sizes = _lde_and_levels(lo, hi, nbits, nbits_ext, n_pols)
+    if cache is not None and cache_key:
+        cache[cache_key] = lde
+    tree = DeviceMerkleTreeGL(flat, sizes)
     tree.elements = _join(*lde)
     tree.width = n_pols
     tree.height = 1 << nbits_ext
-    tree.levels = [_join(*lvl) for lvl in levels]
     return tree
 
 
-def tpu_merkelize(buf: np.ndarray) -> MerkleTreeGL:
-    """Merkle tree over an already-extended [N_ext, w] section on device."""
+def tpu_merkelize(buf: np.ndarray, cache: dict | None = None,
+                  cache_key: str | None = None, pair=None) -> MerkleTreeGL:
+    """Merkle tree over an already-extended [N_ext, w] section on device.
+    Pass `pair` (device limb pair) to skip the host upload entirely."""
     height, width = buf.shape
-    lo, hi = _split(np.ascontiguousarray(buf))
-    levels = _levels_only(lo, hi, width, height)
-    tree = MerkleTreeGL()
+    if pair is None:
+        lo, hi = _split(np.ascontiguousarray(buf))
+        pair = (jnp.asarray(lo), jnp.asarray(hi))
+    if cache is not None and cache_key:
+        cache[cache_key] = pair
+    flat, sizes = _levels_only(pair[0], pair[1], width, height)
+    tree = DeviceMerkleTreeGL(flat, sizes)
     tree.elements = buf
     tree.width = width
     tree.height = height
-    tree.levels = [_join(*lvl) for lvl in levels]
     return tree
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def _levels_only(lo, hi, width: int, height: int):
-    return pj.merkle_levels((lo, hi), width, height)
+@partial(jax.jit, static_argnames=("q_dim", "q_deg", "nbits", "nbits_ext"))
+def _q_split(qlo, qhi, q_dim: int, q_deg: int, nbits: int, nbits_ext: int):
+    """Stage-Q on device (stark_gen.rs Q-split): iNTT the quotient over the
+    ext domain, unscale each degree-N monomial block off the coset, NTT the
+    recombined [Next, q_dim*q_deg] matrix back to evaluations."""
+    import numpy as _np
+    from ..fields import gl64 as _gl
+
+    N = 1 << nbits
+    qq1 = ntt_jax.intt((qlo, qhi), nbits_ext)
+    shift_inv_n = _gl.exp(_gl.inv(_np.uint64(_gl.SHIFT)), N)
+    blocks_lo, blocks_hi = [], []
+    cur_s = _np.uint64(1)
+    next_ = 1 << nbits_ext
+    for p in range(q_deg):
+        blk = (qq1[0][p * N : (p + 1) * N], qq1[1][p * N : (p + 1) * N])
+        blk = g.mul(blk, g.scalar(int(cur_s)))
+        pad = [(0, next_ - N), (0, 0)]
+        blocks_lo.append(jnp.pad(blk[0], pad))
+        blocks_hi.append(jnp.pad(blk[1], pad))
+        cur_s = _gl.mul(cur_s, shift_inv_n)
+    qq2 = (jnp.concatenate(blocks_lo, axis=1),
+           jnp.concatenate(blocks_hi, axis=1))
+    return ntt_jax.ntt(qq2, nbits_ext)
+
+
+def tpu_q_split(q_pair, q_dim: int, q_deg: int, nbits: int, nbits_ext: int):
+    """Device Q-split over the cached q_2ns limb pair; returns the cm4_2ns
+    pair (still on device) — deposit it in the cache and merkelize from it."""
+    return _q_split(q_pair[0], q_pair[1], q_dim, q_deg, nbits, nbits_ext)
 
 
 def enabled() -> bool:

@@ -16,21 +16,12 @@ is a full-width VPU wave.
 """
 from __future__ import annotations
 
-import os
-
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from . import bigint_jax as bi
-
-# the MSM graph is large; cache compiled executables across processes
-try:
-    jax.config.update("jax_compilation_cache_dir",
-                      os.path.expanduser("~/.cache/eigen_zkvm_tpu_jax"))
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
-except Exception:  # older jax without these knobs — fine, just slower
-    pass
+from . import bigint_jax as bi  # noqa: F401  (package import enables the
+# persistent compilation cache — see ops/__init__.py)
 
 
 def load_points(points_affine):

@@ -248,18 +248,38 @@ def _join64(lo, hi) -> np.ndarray:
             | (np.asarray(hi).astype(np.uint64) << np.uint64(32)))
 
 
+# buffers the host mutates between segments — never served from the cache
+_NO_CACHE = {"cm1_n", "cm2_n", "cm3_n", "cm4_n", "tmpexp_n",
+             "publics", "challenges", "evals"}
+
+
 def execute_segment(ctx, segment, dom: str):
     """Drop-in for stark/vm.execute_segment: upload the segment's read/write
-    sets, run the jitted trace, scatter results back into ctx.sections."""
+    sets, run the jitted trace, scatter results back into ctx.sections.
+
+    Big device-stable buffers (const/ext sections, domain vectors) are
+    served from ctx._tpu_cache when present — the commit backend
+    (ops/commit_tpu.py) deposits LDE results there, so the quotient pass
+    reads them without a re-upload, and segment outputs refresh the cache."""
     si = ctx.starkinfo
     reads, writes, aux = _analyze(ctx, segment, dom)
+    cache = getattr(ctx, "_tpu_cache", None)
+
+    def fetch(name, host):
+        if cache is not None and name not in _NO_CACHE:
+            hit = cache.get(name)
+            if hit is None:
+                hit = _split64(np.asarray(host))
+                cache[name] = hit
+            return hit
+        return _split64(np.asarray(host))
 
     state = {}
     for name in reads | writes:
-        state[name] = _split64(ctx.sections[name])
+        state[name] = fetch(name, ctx.sections[name])
     for name in aux:
         arr = getattr(ctx, name) if name != "publics" else ctx.publics
-        state[name] = _split64(np.asarray(arr))
+        state[name] = fetch(name, arr)
 
     key = (id(segment), dom, ctx.nbits, ctx.nbits_ext)
     fn = _jit_cache.get(key)
@@ -270,6 +290,8 @@ def execute_segment(ctx, segment, dom: str):
     out = fn(state)
     for name, pair in out.items():
         ctx.sections[name][:, :] = _join64(pair[0], pair[1])
+        if cache is not None and name not in _NO_CACHE:
+            cache[name] = pair
 
 
 def enabled() -> bool:

@@ -27,22 +27,12 @@ def root_powers(nbits: int) -> np.ndarray:
     if key not in _root_pows_cache:
         n = 1 << nbits
         w = np.uint64(gl.root_of_unity(nbits))
-        pows = np.empty(n, dtype=np.uint64)
-        pows[0] = 1
-        step = 1 << 12
-        if n <= step:
-            for i in range(1, n):
-                pows[i] = gl.mul(pows[i - 1], w)
-        else:
-            base = np.empty(step, dtype=np.uint64)
-            base[0] = 1
-            for i in range(1, step):
-                base[i] = gl.mul(base[i - 1], w)
-            wstep = gl.mul(base[-1], w)
-            cur = np.uint64(1)
-            for blk in range(n // step):
-                pows[blk * step : (blk + 1) * step] = gl.mul(base, cur)
-                cur = gl.mul(cur, wstep)
+        # log-doubling: pows_{2m} = [pows_m, pows_m * w^m]
+        pows = np.ones(1, dtype=np.uint64)
+        cur = w
+        while pows.shape[0] < n:
+            pows = np.concatenate([pows, gl.mul(pows, cur)])
+            cur = gl.mul(cur, cur)
         _root_pows_cache[key] = pows
     return _root_pows_cache[key]
 
@@ -108,10 +98,12 @@ def shift_powers(nbits: int, shift: int | None = None) -> np.ndarray:
     if key not in _root_pows_cache:
         n = 1 << nbits
         s = np.uint64(shift if shift is not None else gl.SHIFT)
-        pows = np.empty(n, dtype=np.uint64)
-        pows[0] = 1
-        for i in range(1, n):
-            pows[i] = gl.mul(pows[i - 1], s)
+        # log-doubling: pows_{2m} = [pows_m, pows_m * s^m]
+        pows = np.ones(1, dtype=np.uint64)
+        cur = s
+        while pows.shape[0] < n:
+            pows = np.concatenate([pows, gl.mul(pows, cur)])
+            cur = gl.mul(cur, cur)
         _root_pows_cache[key] = pows
     return _root_pows_cache[key]
 

@@ -168,11 +168,12 @@ def _build_const_pols(pil, n_bits, n_public_rows, rows_c, s_map, n_used):
     # S connection polynomials: k_j * w^i, swapped along each signal's cycle
     ks = get_ks(11)
     s_ref = pil.references["Compressor.S"].id
-    w_pows = np.empty(N, dtype=np.uint64)
-    w_pows[0] = 1
     wn = np.uint64(gl.root_of_unity(n_bits))
-    for i in range(1, N):
-        w_pows[i] = gl.mul(w_pows[i - 1], wn)
+    w_pows = np.ones(1, dtype=np.uint64)   # log-doubling power table
+    cur = wn
+    while w_pows.shape[0] < N:
+        w_pows = np.concatenate([w_pows, gl.mul(w_pows, cur)])
+        cur = gl.mul(cur, cur)
     buf[:, s_ref] = w_pows
     for j in range(1, 12):
         buf[:, s_ref + j] = gl.mul(w_pows, np.uint64(ks[j - 1]))

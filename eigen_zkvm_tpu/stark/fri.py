@@ -31,6 +31,18 @@ class FRI:
         self.n_queries = stark_struct.nQueries
         self.steps = stark_struct.steps
 
+    def _merkelize(self, buf, width, height):
+        """GL fold-commit trees ride the TPU commit backend when enabled."""
+        if self.merkle_cls is MerkleTreeGL:
+            import os
+
+            if os.environ.get("EIGEN_ZKVM_TPU_COMMIT"):
+                from ..ops import commit_tpu
+
+                if commit_tpu.enabled():
+                    return commit_tpu.tpu_merkelize(buf)
+        return self.merkle_cls().merkelize(buf, width, height)
+
     def prove(self, transcript, pol: np.ndarray, query_pol):
         """pol: [2^in_nbits, 3] extension values on the shifted coset."""
         pol_bits = pol.shape[0].bit_length() - 1
@@ -68,8 +80,8 @@ class FRI:
                 group_size = (1 << step.nBits) // n_groups
                 # leaf i <- [pol2_e[j*n_groups + i] for j] flattened x3
                 etb = pol2_e.reshape(group_size, n_groups, 3).transpose(1, 0, 2)
-                etb = etb.reshape(n_groups, group_size * 3)
-                tree = self.merkle_cls().merkelize(etb, 3 * group_size, n_groups)
+                etb = np.ascontiguousarray(etb.reshape(n_groups, group_size * 3))
+                tree = self._merkelize(etb, 3 * group_size, n_groups)
                 trees.append(tree)
                 proof.queries[si + 1]["root"] = tree.root()
                 transcript.put_root(tree.root())

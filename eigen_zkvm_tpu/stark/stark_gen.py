@@ -119,8 +119,9 @@ def _extend_and_merkelize(ctx: ProverContext, section: str, merkle_cls):
     ext_name = section.replace("_n", "_2ns")
     tpu = _tpu_commit() if merkle_cls is MerkleTreeGL and n_pols else None
     if tpu is not None:
-        tree = tpu.tpu_extend_and_merkelize(ctx.sections[section], ctx.nbits,
-                                            ctx.nbits_ext)
+        tree = tpu.tpu_extend_and_merkelize(
+            ctx.sections[section], ctx.nbits, ctx.nbits_ext,
+            cache=getattr(ctx, "_tpu_cache", None), cache_key=ext_name)
         ctx.sections[ext_name][:, :] = tree.elements
         return tree
     lde = ntt.interpolate(ctx.sections[section], ctx.nbits, ctx.nbits_ext) \
@@ -136,7 +137,10 @@ def _merkelize(ctx: ProverContext, section: str, merkle_cls):
     buf = ctx.sections[section]
     tpu = _tpu_commit() if merkle_cls is MerkleTreeGL and buf.shape[1] else None
     if tpu is not None:
-        return tpu.tpu_merkelize(buf)
+        cache = getattr(ctx, "_tpu_cache", None)
+        pair = cache.get(section) if cache is not None else None
+        return tpu.tpu_merkelize(buf, cache=cache, cache_key=section,
+                                 pair=pair)
     return merkle_cls().merkelize(buf, buf.shape[1], buf.shape[0])
 
 
@@ -228,8 +232,19 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
 
     # Q split: monomial blocks of size N, coset-unscale, recombine on ext domain
     q_dim, q_deg = starkinfo.q_dim, starkinfo.q_deg
-    qq1 = ntt.intt(ctx.sections["q_2ns"])  # [Next, q_dim] coefficients
-    if q_deg > 0:
+    from ..hash.merkle_gl import MerkleTreeGL as _MTGL
+
+    tpu = _tpu_commit() if merkle_cls is _MTGL else None
+    q_pair = ctx._tpu_cache.get("q_2ns") if tpu is not None else None
+    if q_deg > 0 and q_pair is not None:
+        # device path: the quotient is already resident from step42ns
+        from ..ops.commit_tpu import _join as _tpu_join
+
+        pair = tpu.tpu_q_split(q_pair, q_dim, q_deg, ctx.nbits, ctx.nbits_ext)
+        ctx._tpu_cache["cm4_2ns"] = pair
+        ctx.sections["cm4_2ns"][:, :] = _tpu_join(*pair)
+    elif q_deg > 0:
+        qq1 = ntt.intt(ctx.sections["q_2ns"])  # [Next, q_dim] coefficients
         qq2 = np.zeros((Next, q_dim * q_deg), dtype=np.uint64)
         shift_inv_n = gl.exp(gl.inv(shift), N)
         cur_s = np.uint64(1)

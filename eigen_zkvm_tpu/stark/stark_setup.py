@@ -17,10 +17,24 @@ class StarkSetup:
     def __init__(self, const_pols, pil, stark_struct, global_l1=None):
         assert const_pols.nPols == pil.nConstants
         merkle_cls, _ = get_backend(stark_struct.verificationHashType)
-        lde = ntt.interpolate(const_pols.buffer, stark_struct.nBits, stark_struct.nBitsExt) \
-            if pil.nConstants else np.zeros((1 << stark_struct.nBitsExt, 0), dtype=np.uint64)
-        self.const_tree = merkle_cls().merkelize(
-            lde, const_pols.nPols, 1 << stark_struct.nBitsExt)
+        self.const_tree = None
+        if stark_struct.verificationHashType == "GL" and pil.nConstants:
+            import os
+
+            if os.environ.get("EIGEN_ZKVM_TPU_COMMIT"):
+                from ..ops import commit_tpu
+
+                if commit_tpu.enabled():
+                    self.const_tree = commit_tpu.tpu_extend_and_merkelize(
+                        const_pols.buffer, stark_struct.nBits,
+                        stark_struct.nBitsExt)
+        if self.const_tree is None:
+            lde = ntt.interpolate(const_pols.buffer, stark_struct.nBits,
+                                  stark_struct.nBitsExt) \
+                if pil.nConstants \
+                else np.zeros((1 << stark_struct.nBitsExt, 0), dtype=np.uint64)
+            self.const_tree = merkle_cls().merkelize(
+                lde, const_pols.nPols, 1 << stark_struct.nBitsExt)
         self.const_root = self.const_tree.root()
         # starkinfo mutates the PIL (adds im/q commitments, idQ tags);
         # compile a private copy so the caller's PIL stays reusable

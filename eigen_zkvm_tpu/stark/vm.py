@@ -63,6 +63,9 @@ class ProverContext:
         self.evals = np.zeros((0, 3), dtype=np.uint64)
         self.x_div_x_sub_xi = None  # [Next, 3]
         self.x_div_x_sub_wxi = None  # [Next, 3]
+        # device-resident buffer cache shared by the TPU commit backend
+        # (ops/commit_tpu.py) and segment executor (ops/vm_jax.py)
+        self._tpu_cache: dict = {}
 
 
 def _roll(arr: np.ndarray, next_: int) -> np.ndarray:
