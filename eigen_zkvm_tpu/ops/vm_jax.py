@@ -51,6 +51,88 @@ def _f3_mul(a, b):
             jnp.concatenate([c0[1], c1[1], c2[1]], axis=-1))
 
 
+def _f3_inv(a):
+    """F3G inverse via the adjugate/norm formula (fields/f3g.py inv),
+    over GL pairs with last axis 3."""
+    def c(x, i):
+        return (x[0][..., i], x[1][..., i])
+    a0, a1, a2 = c(a, 0), c(a, 1), c(a, 2)
+    aa = g.mul(a0, a0)
+    ac = g.mul(a0, a2)
+    ba = g.mul(a1, a0)
+    bb = g.mul(a1, a1)
+    bc = g.mul(a1, a2)
+    cc = g.mul(a2, a2)
+    aaa = g.mul(aa, a0)
+    aac = g.mul(aa, a2)
+    abc = g.mul(ba, a2)
+    abb = g.mul(ba, a1)
+    acc = g.mul(ac, a2)
+    bbb = g.mul(bb, a1)
+    bcc = g.mul(bc, a2)
+    ccc = g.mul(cc, a2)
+    t = g.neg(aaa)
+    t = g.sub(t, aac)
+    t = g.sub(t, aac)
+    t = g.add(t, abc)
+    t = g.add(t, abc)
+    t = g.add(t, abc)
+    t = g.add(t, abb)
+    t = g.sub(t, acc)
+    t = g.sub(t, bbb)
+    t = g.add(t, bcc)
+    t = g.sub(t, ccc)
+    tinv = g.inv(t)
+    i1 = g.neg(aa)
+    i1 = g.sub(i1, ac)
+    i1 = g.sub(i1, ac)
+    i1 = g.add(i1, bc)
+    i1 = g.add(i1, bb)
+    i1 = g.sub(i1, cc)
+    i1 = g.mul(i1, tinv)
+    i2 = g.mul(g.sub(ba, cc), tinv)
+    i3 = g.mul(g.add(g.sub(ac, bb), cc), tinv)
+    return (jnp.stack([i1[0], i2[0], i3[0]], axis=-1),
+            jnp.stack([i1[1], i2[1], i3[1]], axis=-1))
+
+
+@jax.jit
+def _xdiv_kernel(xlo, xhi, xi_lo, xi_hi, wxi_lo, wxi_hi):
+    """xDivXSubXi / xDivXSubWXi over the extended coset: x/(x - xi) with x
+    base-field [Next] and xi/wxi F3 points."""
+    n = xlo.shape[0]
+    zeros = jnp.zeros((n, 2), jnp.uint32)
+    den = (jnp.concatenate([xlo[:, None], zeros[:, :1], zeros[:, 1:]], -1),
+           jnp.concatenate([xhi[:, None], zeros[:, :1], zeros[:, 1:]], -1))
+    out = []
+    for plo, phi in ((xi_lo, xi_hi), (wxi_lo, wxi_hi)):
+        d = g.sub(den, (jnp.broadcast_to(plo[None, :], (n, 3)),
+                        jnp.broadcast_to(phi[None, :], (n, 3))))
+        di = _f3_inv(d)
+        out.append(g.mul(di, (xlo[:, None], xhi[:, None])))
+    return tuple(out)
+
+
+def compute_xdiv(ctx, xi, wxi):
+    """Device xDivXSubXi/xDivXSubWXi; deposits the pairs in ctx._tpu_cache
+    (step52ns reads them without a re-upload) and returns numpy arrays."""
+    cache = getattr(ctx, "_tpu_cache", None)
+    if cache is not None and "x_2ns" in cache:
+        xlo, xhi = cache["x_2ns"]
+    else:
+        xlo, xhi = _split64(np.asarray(ctx.x_2ns))
+        if cache is not None:
+            cache["x_2ns"] = (xlo, xhi)
+    xi_p = _split64(np.asarray(xi))
+    wxi_p = _split64(np.asarray(wxi))
+    pair_xi, pair_wxi = _xdiv_kernel(xlo, xhi, xi_p[0], xi_p[1],
+                                     wxi_p[0], wxi_p[1])
+    if cache is not None:
+        cache["x_div_x_sub_xi"] = pair_xi
+        cache["x_div_x_sub_wxi"] = pair_wxi
+    return _join64(*pair_xi), _join64(*pair_wxi)
+
+
 def _set_c0(a, v):
     """Replace component 0 of an F3 pair with GL pair v ([n,1])."""
     return (jnp.concatenate([v[0], a[0][:, 1:]], axis=-1),
@@ -246,6 +328,83 @@ def _split64(a: np.ndarray):
 def _join64(lo, hi) -> np.ndarray:
     return (np.asarray(lo).astype(np.uint64)
             | (np.asarray(hi).astype(np.uint64) << np.uint64(32)))
+
+
+def _sum_mod(pair):
+    """Sum a [N, d] GL pair over axis 0 (log-depth pairwise folding)."""
+    lo, hi = pair
+    n = lo.shape[0]
+    while n > 1:
+        half = n // 2
+        head = (lo[:half], hi[:half])
+        tail = (lo[half : 2 * half], hi[half : 2 * half])
+        s = g.add(head, tail)
+        if n % 2:
+            s = g.add(s, (jnp.concatenate([lo[-1:],
+                                           jnp.zeros_like(lo[: half - 1])]),
+                          jnp.concatenate([hi[-1:],
+                                           jnp.zeros_like(hi[: half - 1])])))
+        lo, hi = s
+        n = half
+    return lo[0], hi[0]
+
+
+def compute_evals(ctx, LEv, LpEv):
+    """Openings at xi / w*xi on device: for every ev_map entry, the dot of
+    its (strided) extended column with the Lagrange vector, summed mod p.
+    Sections come from ctx._tpu_cache when resident; one tiny download."""
+    si = ctx.starkinfo
+    stride = 1 << (ctx.nbits_ext - ctx.nbits)
+    entries = []
+    for ev in si.ev_map:
+        if ev.type_ == "const":
+            entries.append(("const_2ns", int(ev.id), 1, bool(ev.prime)))
+        elif ev.type_ == "cm":
+            p = si.var_pol_map[si.cm_2ns[ev.id]]
+            entries.append((p.section, int(p.section_pos), int(p.dim),
+                            bool(ev.prime)))
+        else:
+            raise ValueError(f"Invalid ev type: {ev.type_}")
+    needed = sorted({e[0] for e in entries})
+    cache = getattr(ctx, "_tpu_cache", None)
+
+    def fetch(name):
+        if cache is not None and name in cache:
+            return cache[name]
+        pair = _split64(ctx.sections[name])
+        if cache is not None and name not in _NO_CACHE:
+            cache[name] = pair
+        return pair
+
+    state = {name: fetch(name) for name in needed}
+    state["LEv"] = _split64(np.asarray(LEv))
+    state["LpEv"] = _split64(np.asarray(LpEv))
+
+    key = ("evals", id(si), ctx.nbits, ctx.nbits_ext)
+    fn = _jit_cache.get(key)
+    if fn is None:
+        ents = tuple(entries)
+
+        def run(st):
+            outs_lo, outs_hi = [], []
+            for sec, off, dim, prime in ents:
+                lo, hi = st[sec]
+                v = (lo[::stride, off : off + dim],
+                     hi[::stride, off : off + dim])
+                l = st["LpEv"] if prime else st["LEv"]
+                if dim == 1:
+                    prod = g.mul(l, v)
+                else:
+                    prod = _f3_mul(v, l)
+                slo, shi = _sum_mod(prod)
+                outs_lo.append(slo)
+                outs_hi.append(shi)
+            return jnp.stack(outs_lo), jnp.stack(outs_hi)
+
+        fn = jax.jit(run)
+        _jit_cache[key] = fn
+    lo, hi = fn(state)
+    return _join64(lo, hi)
 
 
 # buffers the host mutates between segments — never served from the cache

@@ -267,24 +267,31 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     LEv = ntt.intt(_geometric(xis, N))
     LpEv = ntt.intt(_geometric(wxis, N))
 
-    evals = np.zeros((len(starkinfo.ev_map), 3), dtype=np.uint64)
-    for i, ev in enumerate(starkinfo.ev_map):
-        if ev.type_ == "const":
-            buf = ctx.sections["const_2ns"]
-            off, dim = ev.id, 1
-        elif ev.type_ == "cm":
-            p = starkinfo.var_pol_map[starkinfo.cm_2ns[ev.id]]
-            buf = ctx.sections[p.section]
-            off, dim = p.section_pos, p.dim
-        else:
-            raise ValueError(f"Invalid ev type: {ev.type_}")
-        l = LpEv if ev.prime else LEv
-        v = buf[:: 1 << extend_bits, off : off + dim]  # sample stride 2^eb
-        if dim == 1:
-            prod = gl.mul(l, v)  # broadcast [N,3] * [N,1]
-        else:
-            prod = f3g.mul(v, l)
-        evals[i] = gl.sum_mod(prod, axis=0)
+    import os as _os
+
+    if _os.environ.get("EIGEN_ZKVM_TPU_VM") and len(starkinfo.ev_map):
+        from ..ops import vm_jax
+
+        evals = vm_jax.compute_evals(ctx, LEv, LpEv)
+    else:
+        evals = np.zeros((len(starkinfo.ev_map), 3), dtype=np.uint64)
+        for i, ev in enumerate(starkinfo.ev_map):
+            if ev.type_ == "const":
+                buf = ctx.sections["const_2ns"]
+                off, dim = ev.id, 1
+            elif ev.type_ == "cm":
+                p = starkinfo.var_pol_map[starkinfo.cm_2ns[ev.id]]
+                buf = ctx.sections[p.section]
+                off, dim = p.section_pos, p.dim
+            else:
+                raise ValueError(f"Invalid ev type: {ev.type_}")
+            l = LpEv if ev.prime else LEv
+            v = buf[:: 1 << extend_bits, off : off + dim]  # stride 2^eb
+            if dim == 1:
+                prod = gl.mul(l, v)  # broadcast [N,3] * [N,1]
+            else:
+                prod = f3g.mul(v, l)
+            evals[i] = gl.sum_mod(prod, axis=0)
     ctx.evals = evals
 
     for i in range(evals.shape[0]):
@@ -295,13 +302,21 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
 
     # xDivXSubXi / xDivXSubWXi over the extended coset
     wxi = f3g.mul_base(xi, w_n)
-    x_buff = ctx.x_2ns  # [Next] base
-    den = f3g.from_base(x_buff)
-    denw = den.copy()
-    den = f3g.sub(den, np.broadcast_to(xi[None, :], (Next, 3)))
-    denw = f3g.sub(denw, np.broadcast_to(wxi[None, :], (Next, 3)))
-    ctx.x_div_x_sub_xi = f3g.mul_base(f3g.inv(den), x_buff)
-    ctx.x_div_x_sub_wxi = f3g.mul_base(f3g.inv(denw), x_buff)
+    import os as _os
+
+    if _os.environ.get("EIGEN_ZKVM_TPU_VM"):
+        from ..ops import vm_jax
+
+        ctx.x_div_x_sub_xi, ctx.x_div_x_sub_wxi = vm_jax.compute_xdiv(
+            ctx, xi, wxi)
+    else:
+        x_buff = ctx.x_2ns  # [Next] base
+        den = f3g.from_base(x_buff)
+        denw = den.copy()
+        den = f3g.sub(den, np.broadcast_to(xi[None, :], (Next, 3)))
+        denw = f3g.sub(denw, np.broadcast_to(wxi[None, :], (Next, 3)))
+        ctx.x_div_x_sub_xi = f3g.mul_base(f3g.inv(den), x_buff)
+        ctx.x_div_x_sub_wxi = f3g.mul_base(f3g.inv(denw), x_buff)
 
     _exec_segment(ctx, program.step52ns, "2ns")
     fri_pol = ctx.sections["f_2ns"].copy()
