@@ -35,21 +35,54 @@ def _join(lo, hi) -> np.ndarray:
             | (np.asarray(hi).astype(np.uint64) << np.uint64(32)))
 
 
+def _flatten_levels(levels, stack):
+    """Concat unrolled levels + the scan tail into one flat [total, 4]
+    node array (tail level j stored with stride T at its scan slot)."""
+    parts_lo = [l[0] for l in levels]
+    parts_hi = [l[1] for l in levels]
+    if stack is not None:
+        t, T = stack[0].shape[0], stack[0].shape[1]
+        parts_lo.append(stack[0].reshape(t * T, 4))
+        parts_hi.append(stack[1].reshape(t * T, 4))
+    return (jnp.concatenate(parts_lo, axis=0),
+            jnp.concatenate(parts_hi, axis=0))
+
+
+def _level_meta(height: int):
+    """(true sizes, storage offsets) per level, mirroring
+    poseidon_jax.merkle_levels' unrolled/scan-tail structure."""
+    tail = pj.MERKLE_TAIL
+    sizes = [height]
+    n = height
+    while n > 1 and (n > tail or (n & (n - 1))):
+        n = (n - 1) // 2 + 1
+        sizes.append(n)
+    offsets = [0]
+    for s in sizes[:-1]:
+        offsets.append(offsets[-1] + s)
+    if n > 1:
+        T = n
+        t = T.bit_length() - 1
+        base = offsets[-1] + sizes[-1]
+        # the unrolled list already ends at size T (its nodes are level 0
+        # of the tail input); scan outputs t further levels
+        for j in range(t):
+            sizes.append(T >> (j + 1))
+            offsets.append(base + j * T)
+    return sizes, offsets
+
+
 @partial(jax.jit, static_argnames=("nbits", "nbits_ext", "n_pols"))
 def _lde_and_levels(lo, hi, nbits: int, nbits_ext: int, n_pols: int):
     lde = ntt_jax.interpolate((lo, hi), nbits, nbits_ext)
-    levels = pj.merkle_levels(lde, n_pols, 1 << nbits_ext)
-    flat = (jnp.concatenate([l[0] for l in levels], axis=0),
-            jnp.concatenate([l[1] for l in levels], axis=0))
-    return lde, flat, [l[0].shape[0] for l in levels]
+    levels, stack = pj.merkle_levels(lde, n_pols, 1 << nbits_ext)
+    return lde, _flatten_levels(levels, stack)
 
 
 @partial(jax.jit, static_argnames=("width", "height"))
 def _levels_only(lo, hi, width: int, height: int):
-    levels = pj.merkle_levels((lo, hi), width, height)
-    flat = (jnp.concatenate([l[0] for l in levels], axis=0),
-            jnp.concatenate([l[1] for l in levels], axis=0))
-    return flat, [l[0].shape[0] for l in levels]
+    levels, stack = pj.merkle_levels((lo, hi), width, height)
+    return _flatten_levels(levels, stack)
 
 
 @jax.jit
@@ -63,11 +96,11 @@ class DeviceMerkleTreeGL(MerkleTreeGL):
     Proof format and root are identical to the host tree; only the storage
     differs.  `levels` is intentionally left empty."""
 
-    def __init__(self, flat_pair, sizes):
+    def __init__(self, flat_pair, sizes, offsets):
         super().__init__()
         self._flat = flat_pair               # (lo, hi) device [total, 4]
-        self._sizes = sizes                  # nodes per level
-        self._offsets = np.concatenate([[0], np.cumsum(sizes)])[:-1]
+        self._sizes = [int(s) for s in sizes]       # true nodes per level
+        self._offsets = [int(o) for o in offsets]   # storage offsets
         self._root = None
 
     def root(self) -> np.ndarray:
@@ -108,10 +141,10 @@ def tpu_extend_and_merkelize(buf: np.ndarray, nbits: int,
         return MerkleTreeGL().merkelize(
             np.zeros((1 << nbits_ext, 0), dtype=np.uint64), 0, 1 << nbits_ext)
     lo, hi = _split(np.ascontiguousarray(buf))
-    lde, flat, sizes = _lde_and_levels(lo, hi, nbits, nbits_ext, n_pols)
+    lde, flat = _lde_and_levels(lo, hi, nbits, nbits_ext, n_pols)
     if cache is not None and cache_key:
         cache[cache_key] = lde
-    tree = DeviceMerkleTreeGL(flat, sizes)
+    tree = DeviceMerkleTreeGL(flat, *_level_meta(1 << nbits_ext))
     tree.elements = _join(*lde)
     tree.width = n_pols
     tree.height = 1 << nbits_ext
@@ -128,8 +161,8 @@ def tpu_merkelize(buf: np.ndarray, cache: dict | None = None,
         pair = (jnp.asarray(lo), jnp.asarray(hi))
     if cache is not None and cache_key:
         cache[cache_key] = pair
-    flat, sizes = _levels_only(pair[0], pair[1], width, height)
-    tree = DeviceMerkleTreeGL(flat, sizes)
+    flat = _levels_only(pair[0], pair[1], width, height)
+    tree = DeviceMerkleTreeGL(flat, *_level_meta(height))
     tree.elements = buf
     tree.width = width
     tree.height = height

@@ -184,13 +184,26 @@ def hash_leaves(rows, w: int):
     return _hash_fold(cat)
 
 
+MERKLE_TAIL = 2048  # power of two; levels at or below this size fold in a scan
+
+
 def merkle_levels(elements, width: int, height: int):
-    """Full tree on device: elements [height, width] pair -> list of [n,4]
-    pair levels (level 0 = leaf digests; odd levels zero-padded)."""
+    """Full tree on device: elements [height, width] pair ->
+    (levels, tail_stack) where `levels` is a list of [n,4] pair levels
+    for sizes > MERKLE_TAIL (level 0 = leaf digests) and `tail_stack` is a
+    pair of [t, T, 4] scan outputs for the remaining T=min(height, TAIL)
+    -> 1 fold (tail level i holds its true T >> (i+1) nodes in the row
+    prefix; rows beyond are don't-care garbage).
+
+    The tail runs as ONE lax.scan over a constant-shape buffer — the same
+    trick as fold_root_pow2 — so the whole tree costs ~log2(height/TAIL)+1
+    traced permutations instead of log2(height): the XLA graph through a
+    remote-TPU tunnel compiles in half the time, for T/2*log2(T) wasted
+    (tiny) hashes."""
     lvl = hash_leaves(elements, width)
     levels = [lvl]
     n = height
-    while n > 1:
+    while n > 1 and (n > MERKLE_TAIL or (n & (n - 1))):
         if n % 2 == 1:
             lvl = (jnp.concatenate([lvl[0], jnp.zeros((1, 4), jnp.uint32)], axis=0),
                    jnp.concatenate([lvl[1], jnp.zeros((1, 4), jnp.uint32)], axis=0))
@@ -201,12 +214,32 @@ def merkle_levels(elements, width: int, height: int):
         lvl = hash_n(pairs, st)
         levels.append(lvl)
         n = (n - 1) // 2 + 1
-    return levels
+    if n == 1:
+        return levels, None
+
+    T = n  # power of two by the loop condition
+    t = T.bit_length() - 1
+
+    def step(carry, _):
+        clo, chi = carry
+        plo = clo.reshape((-1, 8))
+        phi = chi.reshape((-1, 8))
+        z = jnp.zeros((plo.shape[0], 4), jnp.uint32)
+        hlo, hhi = hash_n((plo, phi), (z, z))
+        new = (jnp.concatenate([hlo, clo[T // 2 :]], axis=0),
+               jnp.concatenate([hhi, chi[T // 2 :]], axis=0))
+        return new, new
+
+    _, stack = jax.lax.scan(step, lvl, None, length=t)
+    return levels, stack
 
 
 @partial(jax.jit, static_argnums=(1, 2))
 def merkle_root_jit(elements, width: int, height: int):
-    return merkle_levels(elements, width, height)[-1]
+    levels, stack = merkle_levels(elements, width, height)
+    if stack is None:
+        return levels[-1]
+    return (stack[0][-1, :1], stack[1][-1, :1])
 
 
 def fold_root_pow2(digs):
