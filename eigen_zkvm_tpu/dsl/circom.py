@@ -12,9 +12,14 @@ arithmetic (+ - * / \\ % ** unary-) over the field, comparisons and
 boolean ops in compile-time expressions, bit ops on vars, include
 resolution across search paths.
 
+`template custom` (circom-2 custom gates) is supported: the body computes
+witness only (no R1CS constraints) and one gate use is recorded with the
+declared signals in declaration order — the layout the compressor's
+plonk_setup expects per gate name; template args become gate params.
+
 Not supported (use the native circuit builders or externally compiled
-.r1cs for these): custom templates/gates, anonymous components, buses,
-tags, tuple assignments, public-signal lists other than main's.
+.r1cs for these): anonymous components, buses, tags, tuple assignments,
+public-signal lists other than main's.
 """
 from __future__ import annotations
 
@@ -80,7 +85,7 @@ class _Parser:
     # ---- top level ----
     def parse_file(self):
         items = {"templates": {}, "functions": {}, "main": None,
-                 "includes": []}
+                 "includes": [], "custom": set()}
         while self.peek()[0] != "eof":
             t = self.peek()[1]
             if t == "pragma":
@@ -92,12 +97,15 @@ class _Parser:
                 self.expect(";")
             elif t == "template":
                 self.next()
-                if self.peek()[1] == "parallel":
-                    self.next()
+                is_custom = False
+                while self.peek()[1] in ("parallel", "custom"):
+                    is_custom |= self.next()[1] == "custom"
                 name = self.next()[1]
                 params = self._param_list()
                 body = self._block()
                 items["templates"][name] = (params, body)
+                if is_custom:
+                    items["custom"].add(name)
             elif t == "function":
                 self.next()
                 name = self.next()[1]

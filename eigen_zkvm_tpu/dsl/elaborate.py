@@ -90,7 +90,46 @@ class Component:
         env = dict(self.env)
         env["$signals"] = self.signals
         env["$component"] = self
+        if self.tname in self.elab.custom:
+            self._execute_custom(env, body)
+            return
         self.elab._exec_block(env, body, skip_input_decl=True)
+
+    def _execute_custom(self, env, body):
+        """`template custom` (circom-2 custom gates): the body computes the
+        witness but emits NO R1CS constraints — the gate's semantics live
+        in the proving system (compressor12's PIL selectors).  One gate use
+        is recorded with every declared signal in declaration order (the
+        layout recursion/plonk_setup.py expects per gate name), template
+        args becoming gate params (reference: vendored circom's custom
+        gates sections + compressor12_setup.rs gate handling)."""
+        b = self.elab.b
+        rec = b.record
+        b.record = False
+        try:
+            self.elab._exec_block(env, body, skip_input_decl=True)
+        finally:
+            b.record = rec
+
+        def flat(v, out):
+            if isinstance(v, list):
+                for x in v:
+                    flat(x, out)
+            else:
+                assert v is not None, \
+                    f"unset signal in custom template {self.tname}"
+                out.append(b.materialize(v.w))
+
+        ids: list = []
+        for st in body:
+            if st[0] == "signal":
+                for name, _dims, _init in st[2]:
+                    flat(self.signals[name], ids)
+        if rec:
+            entry = (self.tname, ids)
+            if self.args:
+                entry = (self.tname, ids, tuple(int(a) for a in self.args))
+            b.custom_gates.append(entry)
 
 
 class Elaborator:
@@ -100,6 +139,7 @@ class Elaborator:
         self.b = CircuitBuilder(prime=self.prime)
         self.templates = {}
         self.functions = {}
+        self.custom = set()   # names of `template custom` declarations
         self._load(source, list(search_paths), set())
         self.main = self._ast["main"]
 
@@ -108,6 +148,7 @@ class Elaborator:
         self._ast = ast
         self.templates.update(ast["templates"])
         self.functions.update(ast["functions"])
+        self.custom.update(ast.get("custom", ()))
         for inc in ast["includes"]:
             if inc in seen:
                 continue
@@ -118,6 +159,7 @@ class Elaborator:
                     sub = _parser.parse(open(f).read())
                     self.templates.update(sub["templates"])
                     self.functions.update(sub["functions"])
+                    self.custom.update(sub.get("custom", ()))
                     for inc2 in sub["includes"]:
                         if inc2 not in seen:
                             seen.add(inc2)

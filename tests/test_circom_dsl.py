@@ -117,3 +117,71 @@ def test_compile_over_goldilocks_feeds_compressor():
     ps = PlonkSetup(b)
     cm = exec_witness(b, ps)
     assert cm.buffer.shape[0] == 1 << ps.n_bits
+
+
+CUSTOM_CMULADD = """
+pragma circom 2.0.6;
+pragma custom_templates;
+
+template custom CMulAdd() {
+    // GF(p^3) a*b + c; signal order matches plonk_setup's CMULADD layout
+    signal input a[3];
+    signal input b[3];
+    signal input c[3];
+    signal output out[3];
+    var A = (a[0]+a[1]) * (b[0]+b[1]);
+    var B = (a[0]+a[2]) * (b[0]+b[2]);
+    var C = (a[1]+a[2]) * (b[1]+b[2]);
+    var D = a[0]*b[0];
+    var E = a[1]*b[1];
+    var F = a[2]*b[2];
+    out[0] <-- C + D - E - F + c[0];
+    out[1] <-- A + C - 2*E - D + c[1];
+    out[2] <-- B - D + E + c[2];
+}
+
+template Main() {
+    signal input a[3];
+    signal input b[3];
+    signal input c[3];
+    signal output out[3];
+    component g = CMulAdd();
+    for (var i = 0; i < 3; i++) {
+        g.a[i] <== a[i];
+        g.b[i] <== b[i];
+        g.c[i] <== c[i];
+    }
+    for (var i = 0; i < 3; i++) {
+        out[i] <== g.out[i];
+    }
+}
+
+component main = Main();
+"""
+
+
+def test_custom_template_records_gate():
+    """`template custom` bodies compute witness only; one gate use is
+    recorded with the declared signals, and the compressor pipeline packs
+    it like a native CMulAdd gate."""
+    import numpy as np
+
+    from eigen_zkvm_tpu.fields import f3g
+    from eigen_zkvm_tpu.recursion.plonk_setup import PlonkSetup, exec_witness
+
+    a, b_, c = (3, 4, 5), (7, 8, 9), (10, 11, 12)
+    builder = compile_circom(
+        CUSTOM_CMULADD,
+        {"a": list(a), "b": list(b_), "c": list(c)})
+    gates = [g for g in builder.custom_gates if g[0] == "CMulAdd"]
+    assert len(gates) == 1 and len(gates[1 - 1][1]) == 12
+    want = f3g.add(f3g.mul(np.array(a, dtype=np.uint64),
+                           np.array(b_, dtype=np.uint64)),
+                   np.array(c, dtype=np.uint64))
+    got = [builder.w[s] for s in gates[0][1][9:12]]
+    assert got == [int(x) for x in want]
+    assert builder.check()
+
+    ps = PlonkSetup(builder)
+    cm = exec_witness(builder, ps)
+    assert cm.buffer.shape[0] == 1 << ps.n_bits
