@@ -56,3 +56,40 @@ fini:
     sub  x6, x12, x13  # den -> x6
     halt
 """
+
+# gcd(a, b) by binary-free Euclid (repeated subtraction with a swap walk):
+# reads a, b from the tape, leaves gcd in x2.  Exercises the branch ops
+# (blt/bne) and long multi-chunk traces for small inputs.
+GCD = """
+    in   x2          # a
+    in   x3          # b
+loop:
+    beq  x3, x0, done
+    blt  x2, x3, swap
+    sub  x2, x2, x3
+    j    loop
+swap:
+    add  x4, x2, x0
+    add  x2, x3, x0
+    add  x3, x4, x0
+    j    loop
+done:
+    halt
+"""
+
+# modular micro-exponentiation base^e mod 2^32 with a unary exponent loop:
+# reads base, e; leaves the power in x3.
+POW = """
+    in   x1          # base
+    in   x2          # e
+    li   x3, 1
+    li   x4, 0
+    li   x5, 1
+loop:
+    beq  x4, x2, done
+    mul  x3, x3, x1
+    add  x4, x4, x5
+    j    loop
+done:
+    halt
+"""

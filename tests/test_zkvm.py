@@ -86,3 +86,16 @@ def test_tampered_trace_rejected():
         from eigen_zkvm_tpu.stark.stark_verify import stark_verify
         assert stark_verify(proof, setup.const_root, setup.starkinfo, ss,
                             setup.program)
+
+
+def test_gcd_guest_multichunk():
+    from eigen_zkvm_tpu.zkvm.guests import GCD
+    from eigen_zkvm_tpu.zkvm.lib import zkvm_execute_and_prove
+
+    proofs, pubs, *_ = zkvm_execute_and_prove(GCD, [252, 105], n_bits=8)
+    assert len(proofs) >= 1
+    # final x2 register equals math.gcd(252, 105) = 21
+    import math
+    from eigen_zkvm_tpu.zkvm.isa import assemble, execute
+    states = execute(assemble(GCD), [252, 105])
+    assert states[-1].regs[2] == math.gcd(252, 105) == 21
