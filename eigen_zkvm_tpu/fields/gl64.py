@@ -28,6 +28,20 @@ SHIFT = 49  # coset shift for the LDE domain (reference: constant.rs SHIFT)
 # numpy array integer ops wrap silently (mod 2^64); that is exactly what we want.
 np.seterr(over="ignore")
 
+_native_checked = False
+_nv = None
+
+
+def _native():
+    """The C++ vector kernel (native/gl_vec.cpp), or None."""
+    global _native_checked, _nv
+    if not _native_checked:
+        from .. import native as _n
+
+        _nv = _n.gl_vec
+        _native_checked = True
+    return _nv
+
 
 def asfield(x) -> np.ndarray:
     return np.asarray(x, dtype=np.uint64)
@@ -35,6 +49,11 @@ def asfield(x) -> np.ndarray:
 
 def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(a + b) mod p for canonical a, b < p."""
+    nv = _native()
+    if nv is not None:
+        r = nv.try_add(a, b)
+        if r is not None:
+            return r
     s = a + b
     over = s < a
     s = np.where(over, s + EPSILON, s)
@@ -45,6 +64,11 @@ def add(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 def sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     # Borrow path: (a-b) mod 2^64 = a-b+2^64 > 2^32-1 for canonical a,b, so
     # the EPSILON correction never underflows and lands in (0, p).
+    nv = _native()
+    if nv is not None:
+        r = nv.try_sub(a, b)
+        if r is not None:
+            return r
     d = a - b
     borrow = a < b
     d = np.where(borrow, d - EPSILON, d)
@@ -90,6 +114,11 @@ def _reduce128(hi: np.ndarray, lo: np.ndarray) -> np.ndarray:
 
 
 def mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    nv = _native()
+    if nv is not None:
+        r = nv.try_mul(a, b)
+        if r is not None:
+            return r
     hi, lo = _mul_wide(a, b)
     return _reduce128(hi, lo)
 
@@ -159,6 +188,9 @@ def batch_inverse(a: np.ndarray) -> np.ndarray:
 
 def prefix_product(a: np.ndarray) -> np.ndarray:
     """Inclusive prefix product along axis 0, log-depth doubling."""
+    nv = _native()
+    if nv is not None and a.ndim == 1:
+        return nv.prefix_product(a)
     out = a.copy()
     n = out.shape[0]
     shift = 1

@@ -96,3 +96,42 @@ class MerkleTreeGL:
     def to_extend(self) -> np.ndarray:
         """The LDE values this tree committed to, as [height, width]."""
         return self.elements
+
+
+class ZeroMerkleTreeGL(MerkleTreeGL):
+    """Tree over a width-0 element matrix (sections a trace doesn't use,
+    e.g. cm2/cm3 without lookups).  Every leaf digest is the zero digest,
+    so every node of a level is ONE digest — the whole tree is one Poseidon
+    per level instead of 2^height, with identical roots and proofs.
+    Power-of-two heights only (odd levels would break uniformity)."""
+
+    _cache: dict = {}
+
+    @classmethod
+    def build(cls, height: int) -> "ZeroMerkleTreeGL":
+        tree = cls._cache.get(height)
+        if tree is None:
+            tree = cls._cache[height] = cls(height)
+        return tree
+
+    def __init__(self, height: int):
+        assert height & (height - 1) == 0, "pow2 heights only"
+        super().__init__()
+        self.width = 0
+        self.height = height
+        self.elements = np.zeros((height, 0), dtype=np.uint64)
+        d = np.zeros((1, 4), dtype=np.uint64)
+        self._lvl = [d[0]]
+        n = height
+        while n > 1:
+            d = linearhash_gl.hash_pair(d, d)
+            self._lvl.append(d[0])
+            n //= 2
+
+    def root(self) -> np.ndarray:
+        return self._lvl[-1]
+
+    def get_group_proof(self, idx: int):
+        assert idx < self.height
+        return (self.elements[idx].copy(),
+                [self._lvl[i].copy() for i in range(len(self._lvl) - 1)])

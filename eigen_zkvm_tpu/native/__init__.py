@@ -22,8 +22,8 @@ _SO = os.path.join(_DIR, "libposeidon_gl.so")
 def _build() -> bool:
     try:
         subprocess.run(
-            ["g++", "-O3", "-shared", "-fPIC", "-fopenmp", "-march=native",
-             "-o", _SO, _SRC],
+            ["g++", "-O3", "-funroll-loops", "-shared", "-fPIC", "-fopenmp",
+             "-march=native", "-o", _SO, _SRC],
             check=True, capture_output=True, timeout=300)
         return True
     except (OSError, subprocess.SubprocessError):
@@ -99,6 +99,96 @@ class _PoseidonGL:
 
 
 poseidon: _PoseidonGL | None = None
+
+
+_GLVEC_SRC = os.path.join(_DIR, "gl_vec.cpp")
+_GLVEC_SO = os.path.join(_DIR, "libgl_vec.so")
+
+
+class _GlVec:
+    """Vectorized Goldilocks field ops + batched NTT (native/gl_vec.cpp).
+
+    `try_add`/`try_sub`/`try_mul` return None when the operand pattern is
+    not a native fast path (broadcasting other than scalar, exotic dtypes);
+    callers fall back to the numpy reference path."""
+
+    def __init__(self, lib):
+        self._lib = lib
+        u64p = ctypes.POINTER(ctypes.c_uint64)
+        for name in ("gl_vec_add", "gl_vec_sub", "gl_vec_mul",
+                     "gl_vec_muladd"):
+            getattr(lib, name).argtypes = [u64p, u64p, u64p, ctypes.c_size_t] \
+                if name != "gl_vec_muladd" else [u64p] * 4 + [ctypes.c_size_t]
+        for name in ("gl_vec_add_scalar", "gl_vec_sub_scalar",
+                     "gl_vec_mul_scalar"):
+            getattr(lib, name).argtypes = [u64p, ctypes.c_uint64, u64p,
+                                           ctypes.c_size_t]
+        lib.gl_vec_rsub_scalar.argtypes = [ctypes.c_uint64, u64p, u64p,
+                                           ctypes.c_size_t]
+        lib.gl_vec_prefix_product.argtypes = [u64p, u64p, ctypes.c_size_t]
+        lib.gl_ntt.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t,
+                               u64p, u64p]
+
+    @staticmethod
+    def _prep(a):
+        if not isinstance(a, np.ndarray) or a.dtype != np.uint64 or a.ndim == 0:
+            return None
+        return np.ascontiguousarray(a)
+
+    def _binop(self, fn, scalar_fn, a, b, rscalar_fn=None):
+        av, bv = self._prep(a), self._prep(b)
+        if av is not None and bv is not None and av.shape == bv.shape:
+            out = np.empty_like(av)
+            fn(_ptr(av), _ptr(bv), _ptr(out), av.size)
+            return out
+        # scalar (0-d or python int / np.uint64) second operand
+        if av is not None and np.ndim(b) == 0 and scalar_fn is not None:
+            out = np.empty_like(av)
+            scalar_fn(_ptr(av), ctypes.c_uint64(int(b)), _ptr(out), av.size)
+            return out
+        if bv is not None and np.ndim(a) == 0 and rscalar_fn is not None:
+            out = np.empty_like(bv)
+            rscalar_fn(ctypes.c_uint64(int(a)), _ptr(bv), _ptr(out), bv.size)
+            return out
+        return None
+
+    def try_add(self, a, b):
+        r = self._binop(self._lib.gl_vec_add, self._lib.gl_vec_add_scalar,
+                        a, b)
+        if r is None and np.ndim(a) == 0:  # add commutes
+            r = self._binop(self._lib.gl_vec_add,
+                            self._lib.gl_vec_add_scalar, b, a)
+        return r
+
+    def try_sub(self, a, b):
+        return self._binop(self._lib.gl_vec_sub, self._lib.gl_vec_sub_scalar,
+                           a, b, rscalar_fn=self._lib.gl_vec_rsub_scalar)
+
+    def try_mul(self, a, b):
+        r = self._binop(self._lib.gl_vec_mul, self._lib.gl_vec_mul_scalar,
+                        a, b)
+        if r is None and np.ndim(a) == 0:  # mul commutes
+            r = self._binop(self._lib.gl_vec_mul,
+                            self._lib.gl_vec_mul_scalar, b, a)
+        return r
+
+    def muladd(self, a, b, c):
+        out = np.empty_like(a)
+        self._lib.gl_vec_muladd(_ptr(a), _ptr(b), _ptr(c), _ptr(out), a.size)
+        return out
+
+    def prefix_product(self, a: np.ndarray) -> np.ndarray:
+        a = np.ascontiguousarray(a, dtype=np.uint64)
+        out = np.empty_like(a)
+        self._lib.gl_vec_prefix_product(_ptr(a), _ptr(out), a.size)
+        return out
+
+    def ntt_inplace(self, buf: np.ndarray, n: int, k: int,
+                    pows: np.ndarray, rev: np.ndarray):
+        self._lib.gl_ntt(_ptr(buf), n, k, _ptr(pows), _ptr(rev))
+
+
+gl_vec: _GlVec | None = None
 
 
 _EC_SRC = os.path.join(_DIR, "ec_curves.cpp")
@@ -216,8 +306,19 @@ def _build_ec() -> bool:
         return False
 
 
+def _build_so(src: str, so: str) -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-funroll-loops", "-shared", "-fPIC", "-fopenmp",
+             "-march=native", "-o", so, src],
+            check=True, capture_output=True, timeout=300)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
 def _init():
-    global poseidon
+    global poseidon, gl_vec
     if os.environ.get("EIGEN_ZKVM_NO_NATIVE"):
         return
     lib = _load()
@@ -226,6 +327,16 @@ def _init():
     from ..hash import poseidon_gl as pnp
 
     poseidon = _PoseidonGL(lib, pnp.C, pnp.M, pnp.PMAT, pnp.S)
+
+    if (not os.path.exists(_GLVEC_SO)
+            or os.path.getmtime(_GLVEC_SO) < os.path.getmtime(_GLVEC_SRC)):
+        if not _build_so(_GLVEC_SRC, _GLVEC_SO):
+            gl_vec = None
+    if gl_vec is None:
+        try:
+            gl_vec = _GlVec(ctypes.CDLL(_GLVEC_SO))
+        except (OSError, AttributeError):
+            gl_vec = None
 
     global ec_bn254, ec_bls12381
     if (not os.path.exists(_EC_SO)

@@ -1,0 +1,281 @@
+// Native vectorized Goldilocks field ops + batched radix-2 NTT.
+//
+// Host-side hot kernels backing fields/gl64.py and poly/ntt.py: the numpy
+// reference path spends ~100x the arithmetic cost on temporaries and
+// 32-bit-split emulation of the 64x64->128 multiply; here each product is one
+// mulx and every carry/overflow fixup is branchless (data-dependent branches
+// are ~50/50 random -> mispredict storms; see poseidon_gl.cpp).
+// Role analog in the reference: fields/src/arch/x86_64/* SIMD field ops and
+// starky/src/fft.rs / fft_p.rs blocked FFTs.
+//
+// Layout contracts: all arrays are contiguous u64, canonical (< p) on entry
+// and exit.  NTT operates in place on [N, K] row-major (column-batched,
+// natural order in/out), twiddles are passed from Python's cached
+// root-powers table so both engines share one table.
+
+#include <cstdint>
+#include <cstring>
+
+#include "gl_avx512.h"
+
+using u64 = uint64_t;
+using u128 = unsigned __int128;
+
+#ifdef GL_HAVE_AVX512
+static bool have_avx512() {
+    static const bool ok = __builtin_cpu_supports("avx512f")
+        && __builtin_cpu_supports("avx512dq");
+    return ok;
+}
+#endif
+
+static const u64 P = 0xFFFFFFFF00000001ULL;
+static const u64 EPS = 0xFFFFFFFFULL;  // 2^64 mod p
+
+static inline u64 gl_add(u64 a, u64 b) {
+    u64 r = a + b;
+    u64 wrap = (u64)(r < a);
+    r += wrap * EPS;
+    u64 ge = (u64)(r >= P);
+    return r - ge * P;
+}
+
+static inline u64 gl_sub(u64 a, u64 b) {
+    u64 d = a - b;
+    u64 borrow = (u64)(a < b);
+    return d - borrow * EPS;
+}
+
+static inline u64 gl_mul(u64 a, u64 b) {
+    u128 w = (u128)a * b;
+    u64 lo = (u64)w;
+    u64 hi = (u64)(w >> 64);
+    u64 hi_lo = hi & EPS;
+    u64 hi_hi = hi >> 32;
+    u64 borrow = (u64)(lo < hi_hi);
+    u64 t = lo - hi_hi - borrow * EPS;
+    u64 t1 = (hi_lo << 32) - hi_lo;
+    u64 r = t + t1;
+    u64 carry = (u64)(r < t);
+    r += carry * EPS;
+    u64 ge = (u64)(r >= P);
+    return r - ge * P;
+}
+
+extern "C" {
+
+void gl_vec_add(const u64* a, const u64* b, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512())
+        for (; i + 8 <= n; i += 8)
+            _mm512_storeu_si512(out + i, glv::v_add(
+                _mm512_loadu_si512(a + i), _mm512_loadu_si512(b + i)));
+#endif
+    for (; i < n; i++) out[i] = gl_add(a[i], b[i]);
+}
+
+void gl_vec_sub(const u64* a, const u64* b, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512())
+        for (; i + 8 <= n; i += 8)
+            _mm512_storeu_si512(out + i, glv::v_sub(
+                _mm512_loadu_si512(a + i), _mm512_loadu_si512(b + i)));
+#endif
+    for (; i < n; i++) out[i] = gl_sub(a[i], b[i]);
+}
+
+void gl_vec_mul(const u64* a, const u64* b, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512())
+        for (; i + 8 <= n; i += 8)
+            _mm512_storeu_si512(out + i, glv::v_mul(
+                _mm512_loadu_si512(a + i), _mm512_loadu_si512(b + i)));
+#endif
+    for (; i < n; i++) out[i] = gl_mul(a[i], b[i]);
+}
+
+void gl_vec_add_scalar(const u64* a, u64 s, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512()) {
+        const __m512i vs = _mm512_set1_epi64((long long)s);
+        for (; i + 8 <= n; i += 8)
+            _mm512_storeu_si512(out + i,
+                                glv::v_add(_mm512_loadu_si512(a + i), vs));
+    }
+#endif
+    for (; i < n; i++) out[i] = gl_add(a[i], s);
+}
+
+void gl_vec_sub_scalar(const u64* a, u64 s, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512()) {
+        const __m512i vs = _mm512_set1_epi64((long long)s);
+        for (; i + 8 <= n; i += 8)
+            _mm512_storeu_si512(out + i,
+                                glv::v_sub(_mm512_loadu_si512(a + i), vs));
+    }
+#endif
+    for (; i < n; i++) out[i] = gl_sub(a[i], s);
+}
+
+void gl_vec_rsub_scalar(u64 s, const u64* a, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512()) {
+        const __m512i vs = _mm512_set1_epi64((long long)s);
+        for (; i + 8 <= n; i += 8)
+            _mm512_storeu_si512(out + i,
+                                glv::v_sub(vs, _mm512_loadu_si512(a + i)));
+    }
+#endif
+    for (; i < n; i++) out[i] = gl_sub(s, a[i]);
+}
+
+void gl_vec_mul_scalar(const u64* a, u64 s, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512()) {
+        const __m512i vs = _mm512_set1_epi64((long long)s);
+        for (; i + 8 <= n; i += 8)
+            _mm512_storeu_si512(out + i,
+                                glv::v_mul(_mm512_loadu_si512(a + i), vs));
+    }
+#endif
+    for (; i < n; i++) out[i] = gl_mul(a[i], s);
+}
+
+// out[i] = a[i] * b[i] + c[i]
+void gl_vec_muladd(const u64* a, const u64* b, const u64* c, u64* out,
+                   size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512())
+        for (; i + 8 <= n; i += 8)
+            _mm512_storeu_si512(out + i, glv::v_add(
+                glv::v_mul(_mm512_loadu_si512(a + i),
+                           _mm512_loadu_si512(b + i)),
+                _mm512_loadu_si512(c + i)));
+#endif
+    for (; i < n; i++) out[i] = gl_add(gl_mul(a[i], b[i]), c[i]);
+}
+
+// Inclusive prefix product along a flat array (serial dependency).
+void gl_vec_prefix_product(const u64* a, u64* out, size_t n) {
+    u64 acc = 1;
+    for (size_t i = 0; i < n; i++) {
+        acc = gl_mul(acc, a[i]);
+        out[i] = acc;
+    }
+}
+
+// In-place batched NTT: data [n, k] row-major, natural order in/out.
+// pows = [w^0 .. w^(n-1)] for the canonical 2^nbits root, rev = bit-reverse
+// permutation of 0..n-1 (both from Python's cached tables).
+void gl_ntt(u64* data, size_t n, size_t k, const u64* pows, const u64* rev) {
+    // bit-reverse permute rows (rev is an involution: swap i < rev[i])
+    for (size_t i = 0; i < n; i++) {
+        size_t j = (size_t)rev[i];
+        if (j > i) {
+            for (size_t c = 0; c < k; c++) {
+                u64 t = data[i * k + c];
+                data[i * k + c] = data[j * k + c];
+                data[j * k + c] = t;
+            }
+        }
+    }
+    for (size_t m = 2; m <= n; m <<= 1) {
+        size_t half = m >> 1;
+        size_t step = n / m;  // twiddle stride
+        for (size_t base = 0; base < n; base += m) {
+            size_t j = 0;
+#ifdef GL_HAVE_AVX512
+            if (have_avx512() && k == 1 && half >= 8) {
+                // column count 1: rows are single u64s, so lo/hi runs are
+                // contiguous across j; twiddles gathered with stride `step`.
+                const __m512i tidx = _mm512_setr_epi64(
+                    0, (long long)step, (long long)(2 * step),
+                    (long long)(3 * step), (long long)(4 * step),
+                    (long long)(5 * step), (long long)(6 * step),
+                    (long long)(7 * step));
+                for (; j + 8 <= half; j += 8) {
+                    u64* lo = data + base + j;
+                    u64* hi = data + base + j + half;
+                    __m512i tw = _mm512_i64gather_epi64(
+                        tidx, (const long long*)(pows + j * step), 8);
+                    __m512i t = glv::v_mul(_mm512_loadu_si512(hi), tw);
+                    __m512i l = _mm512_loadu_si512(lo);
+                    _mm512_storeu_si512(lo, glv::v_add(l, t));
+                    _mm512_storeu_si512(hi, glv::v_sub(l, t));
+                }
+            } else if (have_avx512() && k < 8 && half >= 8) {
+                // small column counts (F3 triples etc.): gather each column
+                // across 8 butterflies with stride k.
+                const __m512i tidx = _mm512_setr_epi64(
+                    0, (long long)step, (long long)(2 * step),
+                    (long long)(3 * step), (long long)(4 * step),
+                    (long long)(5 * step), (long long)(6 * step),
+                    (long long)(7 * step));
+                const __m512i ridx = _mm512_setr_epi64(
+                    0, (long long)k, (long long)(2 * k), (long long)(3 * k),
+                    (long long)(4 * k), (long long)(5 * k),
+                    (long long)(6 * k), (long long)(7 * k));
+                for (; j + 8 <= half; j += 8) {
+                    __m512i tw = _mm512_i64gather_epi64(
+                        tidx, (const long long*)(pows + j * step), 8);
+                    for (size_t c = 0; c < k; c++) {
+                        u64* lo = data + (base + j) * k + c;
+                        u64* hi = data + (base + j + half) * k + c;
+                        __m512i hv = _mm512_i64gather_epi64(
+                            ridx, (const long long*)hi, 8);
+                        __m512i lv = _mm512_i64gather_epi64(
+                            ridx, (const long long*)lo, 8);
+                        __m512i t = glv::v_mul(hv, tw);
+                        _mm512_i64scatter_epi64((long long*)lo, ridx,
+                                                glv::v_add(lv, t), 8);
+                        _mm512_i64scatter_epi64((long long*)hi, ridx,
+                                                glv::v_sub(lv, t), 8);
+                    }
+                }
+            } else if (have_avx512() && k >= 8) {
+                for (; j < half; j++) {
+                    const __m512i tw =
+                        _mm512_set1_epi64((long long)pows[j * step]);
+                    u64* lo = data + (base + j) * k;
+                    u64* hi = data + (base + j + half) * k;
+                    size_t c = 0;
+                    for (; c + 8 <= k; c += 8) {
+                        __m512i t = glv::v_mul(_mm512_loadu_si512(hi + c), tw);
+                        __m512i l = _mm512_loadu_si512(lo + c);
+                        _mm512_storeu_si512(lo + c, glv::v_add(l, t));
+                        _mm512_storeu_si512(hi + c, glv::v_sub(l, t));
+                    }
+                    for (; c < k; c++) {
+                        u64 t = gl_mul(hi[c], pows[j * step]);
+                        u64 l = lo[c];
+                        lo[c] = gl_add(l, t);
+                        hi[c] = gl_sub(l, t);
+                    }
+                }
+            }
+#endif
+            for (; j < half; j++) {
+                u64 tw = pows[j * step];
+                u64* lo = data + (base + j) * k;
+                u64* hi = data + (base + j + half) * k;
+                for (size_t c = 0; c < k; c++) {
+                    u64 t = gl_mul(hi[c], tw);
+                    u64 l = lo[c];
+                    lo[c] = gl_add(l, t);
+                    hi[c] = gl_sub(l, t);
+                }
+            }
+        }
+    }
+}
+
+}  // extern "C"

@@ -38,12 +38,15 @@ def root_powers(nbits: int) -> np.ndarray:
 
 
 def _bit_reverse_indices(nbits: int) -> np.ndarray:
-    n = 1 << nbits
-    idx = np.arange(n)
-    rev = np.zeros(n, dtype=np.int64)
-    for b in range(nbits):
-        rev |= ((idx >> b) & 1) << (nbits - 1 - b)
-    return rev
+    key = ("rev", nbits)
+    if key not in _root_pows_cache:
+        n = 1 << nbits
+        idx = np.arange(n)
+        rev = np.zeros(n, dtype=np.int64)
+        for b in range(nbits):
+            rev |= ((idx >> b) & 1) << (nbits - 1 - b)
+        _root_pows_cache[key] = rev
+    return _root_pows_cache[key]
 
 
 def ntt(values: np.ndarray, nbits: int | None = None) -> np.ndarray:
@@ -54,6 +57,15 @@ def ntt(values: np.ndarray, nbits: int | None = None) -> np.ndarray:
     assert 1 << nbits == n
     if n == 1:
         return values.copy()
+    from .. import native
+
+    if native.gl_vec is not None and values.dtype == np.uint64:
+        k = int(np.prod(values.shape[1:], dtype=np.int64)) if values.ndim > 1 else 1
+        buf = np.ascontiguousarray(values).copy()
+        rev = np.ascontiguousarray(_bit_reverse_indices(nbits).astype(np.uint64))
+        native.gl_vec.ntt_inplace(buf.reshape(n, k), n, k,
+                                  root_powers(nbits), rev)
+        return buf
     buf = values[_bit_reverse_indices(nbits)]
     pows = root_powers(nbits)
     for s in range(1, nbits + 1):

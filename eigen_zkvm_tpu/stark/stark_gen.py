@@ -117,6 +117,11 @@ def _extend_and_merkelize(ctx: ProverContext, section: str, merkle_cls):
 
     n_pols = ctx.sections[section].shape[1]
     ext_name = section.replace("_n", "_2ns")
+    if n_pols == 0 and merkle_cls is MerkleTreeGL \
+            and ctx.Next & (ctx.Next - 1) == 0:
+        from ..hash.merkle_gl import ZeroMerkleTreeGL
+
+        return ZeroMerkleTreeGL.build(ctx.Next)
     tpu = _tpu_commit() if merkle_cls is MerkleTreeGL and n_pols else None
     if tpu is not None:
         tree = tpu.tpu_extend_and_merkelize(
@@ -264,6 +269,7 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     shift_inv = gl.inv(shift)
     xis = f3g.mul_base(xi, shift_inv)
     wxis = f3g.mul_base(f3g.mul_base(xi, w_n), shift_inv)
+
     LEv = ntt.intt(_geometric(xis, N))
     LpEv = ntt.intt(_geometric(wxis, N))
 

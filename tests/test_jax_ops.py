@@ -73,6 +73,15 @@ def test_merkle_jax_differential():
     rng = np.random.default_rng(5)
     elems = rng.integers(0, gl.P_INT, (256, 9), dtype=np.uint64)
     tnp = MerkleTreeGL().merkelize(elems, 9, 256)
-    levels = pj.merkle_levels(g.from_u64(elems), 9, 256)
+    levels, stack = pj.merkle_levels(g.from_u64(elems), 9, 256)
     for lv_np, lv_jx in zip(tnp.levels, levels):
         assert np.array_equal(g.to_u64(lv_jx), lv_np)
+    # scan-tail levels: step i keeps its T >> (i+1) live nodes in the row
+    # prefix of the constant-shape stack buffer (see pj.merkle_levels)
+    T = tnp.levels[len(levels) - 1].shape[0]
+    tail = tnp.levels[len(levels):]
+    assert (stack is None) == (len(tail) == 0)
+    for i, lv_np in enumerate(tail):
+        n_real = T >> (i + 1)
+        pair = (stack[0][i, :n_real], stack[1][i, :n_real])
+        assert np.array_equal(g.to_u64(pair), lv_np)
