@@ -53,6 +53,11 @@ def neg(a: np.ndarray) -> np.ndarray:
 
 
 def mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    nv = gl._native()
+    if nv is not None:
+        r = nv.try_f3_mul(a, b)
+        if r is not None:
+            return r
     a0, a1, a2 = a[..., 0], a[..., 1], a[..., 2]
     b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
     aa = gl.mul(gl.add(a0, a1), gl.add(b0, b1))
@@ -70,6 +75,11 @@ def mul(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 def mul_base(a: np.ndarray, s: np.ndarray) -> np.ndarray:
     """Multiply extension array by base-field array (broadcast over last axis)."""
+    nv = gl._native()
+    if nv is not None and isinstance(s, np.ndarray):
+        r = nv.try_f3_mul_base(a, s)
+        if r is not None:
+            return r
     return gl.mul(a, np.asarray(s, dtype=np.uint64)[..., None])
 
 

@@ -76,6 +76,11 @@ def sub(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def neg(a: np.ndarray) -> np.ndarray:
+    nv = _native()
+    if nv is not None:
+        r = nv.try_neg(a)
+        if r is not None:
+            return r
     return np.where(a == 0, np.uint64(0), P - a)
 
 

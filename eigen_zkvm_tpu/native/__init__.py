@@ -39,7 +39,7 @@ def _load():
         lib = ctypes.CDLL(_SO)
     except OSError:
         return None
-    u64p = ctypes.POINTER(ctypes.c_uint64)
+    u64p = ctypes.c_void_p
     lib.poseidon_gl_set_constants.argtypes = [u64p] * 4
     lib.poseidon_gl_permute_batch.argtypes = [u64p, ctypes.c_size_t]
     lib.poseidon_gl_hash_n.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
@@ -49,8 +49,10 @@ def _load():
     return lib
 
 
-def _ptr(a: np.ndarray):
-    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint64))
+def _ptr(a: np.ndarray) -> int:
+    # raw address for c_void_p argtypes; ~2x cheaper than ctypes.data_as and
+    # safe because every call site keeps the array alive across the call
+    return a.__array_interface__["data"][0]
 
 
 class _PoseidonGL:
@@ -85,8 +87,7 @@ class _PoseidonGL:
         rows = np.ascontiguousarray(rows, dtype=np.uint64)
         B, w = rows.shape
         out = np.empty((B, 4), dtype=np.uint64)
-        self._lib.poseidon_gl_hash_leaves(_ptr(rows), B, w, out.ctypes.data_as(
-            ctypes.POINTER(ctypes.c_uint64)))
+        self._lib.poseidon_gl_hash_leaves(_ptr(rows), B, w, _ptr(out))
         return out
 
     def merkle_level(self, nodes: np.ndarray) -> np.ndarray:
@@ -114,7 +115,7 @@ class _GlVec:
 
     def __init__(self, lib):
         self._lib = lib
-        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u64p = ctypes.c_void_p
         for name in ("gl_vec_add", "gl_vec_sub", "gl_vec_mul",
                      "gl_vec_muladd"):
             getattr(lib, name).argtypes = [u64p, u64p, u64p, ctypes.c_size_t] \
@@ -128,6 +129,10 @@ class _GlVec:
         lib.gl_vec_prefix_product.argtypes = [u64p, u64p, ctypes.c_size_t]
         lib.gl_ntt.argtypes = [u64p, ctypes.c_size_t, ctypes.c_size_t,
                                u64p, u64p]
+        lib.gl_f3_mul.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
+        lib.gl_f3_mul_base.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
+        lib.gl_f3_mul_triple.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
+        lib.gl_vec_neg.argtypes = [u64p, u64p, ctypes.c_size_t]
 
     @staticmethod
     def _prep(a):
@@ -183,6 +188,55 @@ class _GlVec:
         self._lib.gl_vec_prefix_product(_ptr(a), _ptr(out), a.size)
         return out
 
+    @staticmethod
+    def _is_row_broadcast(x) -> bool:
+        """[n, 3] view that repeats one physical row (challenge/eval)."""
+        return (isinstance(x, np.ndarray) and x.ndim == 2
+                and x.shape[1] == 3 and x.strides[0] == 0)
+
+    def try_f3_mul(self, a, b):
+        """[..., 3] x [..., 3] extension product, or None if not native."""
+        if self._is_row_broadcast(b) and isinstance(a, np.ndarray) \
+                and a.shape == b.shape:
+            return self._f3_mul_triple(a, b[0])
+        if self._is_row_broadcast(a) and isinstance(b, np.ndarray) \
+                and a.shape == b.shape:
+            return self._f3_mul_triple(b, a[0])
+        av, bv = self._prep(a), self._prep(b)
+        if av is None or bv is None or av.shape != bv.shape \
+                or av.shape[-1] != 3:
+            return None
+        out = np.empty_like(av)
+        self._lib.gl_f3_mul(_ptr(av), _ptr(bv), _ptr(out), av.size // 3)
+        return out
+
+    def _f3_mul_triple(self, a, triple):
+        av = self._prep(a)
+        if av is None or av.shape[-1] != 3:
+            return None
+        t = np.ascontiguousarray(triple, dtype=np.uint64)
+        out = np.empty_like(av)
+        self._lib.gl_f3_mul_triple(_ptr(av), _ptr(t), _ptr(out), av.size // 3)
+        return out
+
+    def try_neg(self, a):
+        av = self._prep(a)
+        if av is None:
+            return None
+        out = np.empty_like(av)
+        self._lib.gl_vec_neg(_ptr(av), _ptr(out), av.size)
+        return out
+
+    def try_f3_mul_base(self, a, s):
+        """[..., 3] triples scaled by base-field [...] array, or None."""
+        av, sv = self._prep(a), self._prep(s)
+        if av is None or sv is None or av.shape[-1] != 3 \
+                or sv.shape != av.shape[:-1]:
+            return None
+        out = np.empty_like(av)
+        self._lib.gl_f3_mul_base(_ptr(av), _ptr(sv), _ptr(out), av.size // 3)
+        return out
+
     def ntt_inplace(self, buf: np.ndarray, n: int, k: int,
                     pows: np.ndarray, rev: np.ndarray):
         self._lib.gl_ntt(_ptr(buf), n, k, _ptr(pows), _ptr(rev))
@@ -202,7 +256,7 @@ class _EcCurve:
     def __init__(self, lib, prefix: str, n_limbs: int):
         self._lib = lib
         self._n = n_limbs
-        u64p = ctypes.POINTER(ctypes.c_uint64)
+        u64p = ctypes.c_void_p
         self._g1_msm = getattr(lib, f"{prefix}_g1_msm")
         self._g2_msm = getattr(lib, f"{prefix}_g2_msm")
         self._g1_fixed = getattr(lib, f"{prefix}_g1_fixed_batch")

@@ -164,6 +164,153 @@ void gl_vec_muladd(const u64* a, const u64* b, const u64* c, u64* out,
     for (; i < n; i++) out[i] = gl_add(gl_mul(a[i], b[i]), c[i]);
 }
 
+// ---- GF(p^3) extension ops on interleaved [n, 3] triples ------------------
+// One call replaces the ~12 Python-level base-field calls (plus the strided
+// component copies) of fields/f3g.py mul — the dominant overhead of the FRI
+// fold and opening passes at small N.  Karatsuba-style schedule matches
+// f3g.py / the reference's f3g.rs exactly.
+
+void gl_f3_mul(const u64* a, const u64* b, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512()) {
+        const __m512i tidx = _mm512_setr_epi64(0, 3, 6, 9, 12, 15, 18, 21);
+        for (; i + 8 <= n; i += 8) {
+            const long long* ap = (const long long*)(a + 3 * i);
+            const long long* bp = (const long long*)(b + 3 * i);
+            __m512i a0 = _mm512_i64gather_epi64(tidx, ap, 8);
+            __m512i a1 = _mm512_i64gather_epi64(tidx, ap + 1, 8);
+            __m512i a2 = _mm512_i64gather_epi64(tidx, ap + 2, 8);
+            __m512i b0 = _mm512_i64gather_epi64(tidx, bp, 8);
+            __m512i b1 = _mm512_i64gather_epi64(tidx, bp + 1, 8);
+            __m512i b2 = _mm512_i64gather_epi64(tidx, bp + 2, 8);
+            __m512i aa = glv::v_mul(glv::v_add(a0, a1), glv::v_add(b0, b1));
+            __m512i bb = glv::v_mul(glv::v_add(a0, a2), glv::v_add(b0, b2));
+            __m512i cc = glv::v_mul(glv::v_add(a1, a2), glv::v_add(b1, b2));
+            __m512i dd = glv::v_mul(a0, b0);
+            __m512i ee = glv::v_mul(a1, b1);
+            __m512i ff = glv::v_mul(a2, b2);
+            __m512i gg = glv::v_sub(dd, ee);
+            __m512i c0 = glv::v_sub(glv::v_add(cc, gg), ff);
+            __m512i c1 = glv::v_sub(glv::v_add(aa, cc),
+                                    glv::v_add(glv::v_add(ee, ee), dd));
+            __m512i c2 = glv::v_sub(bb, gg);
+            long long* op = (long long*)(out + 3 * i);
+            _mm512_i64scatter_epi64(op, tidx, c0, 8);
+            _mm512_i64scatter_epi64(op + 1, tidx, c1, 8);
+            _mm512_i64scatter_epi64(op + 2, tidx, c2, 8);
+        }
+    }
+#endif
+    for (; i < n; i++) {
+        const u64* x = a + 3 * i;
+        const u64* y = b + 3 * i;
+        u64 aa = gl_mul(gl_add(x[0], x[1]), gl_add(y[0], y[1]));
+        u64 bb = gl_mul(gl_add(x[0], x[2]), gl_add(y[0], y[2]));
+        u64 cc = gl_mul(gl_add(x[1], x[2]), gl_add(y[1], y[2]));
+        u64 dd = gl_mul(x[0], y[0]);
+        u64 ee = gl_mul(x[1], y[1]);
+        u64 ff = gl_mul(x[2], y[2]);
+        u64 gg = gl_sub(dd, ee);
+        out[3 * i + 0] = gl_sub(gl_add(cc, gg), ff);
+        out[3 * i + 1] = gl_sub(gl_add(aa, cc), gl_add(gl_add(ee, ee), dd));
+        out[3 * i + 2] = gl_sub(bb, gg);
+    }
+}
+
+// out[i, :] = a[i, :] * s[i]  (base-field scale of each triple)
+void gl_f3_mul_base(const u64* a, const u64* s, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512()) {
+        const __m512i tidx = _mm512_setr_epi64(0, 3, 6, 9, 12, 15, 18, 21);
+        for (; i + 8 <= n; i += 8) {
+            const long long* ap = (const long long*)(a + 3 * i);
+            long long* op = (long long*)(out + 3 * i);
+            __m512i sc = _mm512_loadu_si512(s + i);
+            for (int c = 0; c < 3; c++) {
+                __m512i v = _mm512_i64gather_epi64(tidx, ap + c, 8);
+                _mm512_i64scatter_epi64(op + c, tidx, glv::v_mul(v, sc), 8);
+            }
+        }
+    }
+#endif
+    for (; i < n; i++) {
+        u64 sc = s[i];
+        out[3 * i + 0] = gl_mul(a[3 * i + 0], sc);
+        out[3 * i + 1] = gl_mul(a[3 * i + 1], sc);
+        out[3 * i + 2] = gl_mul(a[3 * i + 2], sc);
+    }
+}
+
+// out[i, :] = a[i, :] * t  for one fixed triple t (challenge/eval operand)
+void gl_f3_mul_triple(const u64* a, const u64* t, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512()) {
+        const __m512i tidx = _mm512_setr_epi64(0, 3, 6, 9, 12, 15, 18, 21);
+        const __m512i b0 = _mm512_set1_epi64((long long)t[0]);
+        const __m512i b1 = _mm512_set1_epi64((long long)t[1]);
+        const __m512i b2 = _mm512_set1_epi64((long long)t[2]);
+        const __m512i b01 = glv::v_add(b0, b1);
+        const __m512i b02 = glv::v_add(b0, b2);
+        const __m512i b12 = glv::v_add(b1, b2);
+        for (; i + 8 <= n; i += 8) {
+            const long long* ap = (const long long*)(a + 3 * i);
+            __m512i a0 = _mm512_i64gather_epi64(tidx, ap, 8);
+            __m512i a1 = _mm512_i64gather_epi64(tidx, ap + 1, 8);
+            __m512i a2 = _mm512_i64gather_epi64(tidx, ap + 2, 8);
+            __m512i aa = glv::v_mul(glv::v_add(a0, a1), b01);
+            __m512i bb = glv::v_mul(glv::v_add(a0, a2), b02);
+            __m512i cc = glv::v_mul(glv::v_add(a1, a2), b12);
+            __m512i dd = glv::v_mul(a0, b0);
+            __m512i ee = glv::v_mul(a1, b1);
+            __m512i ff = glv::v_mul(a2, b2);
+            __m512i gg = glv::v_sub(dd, ee);
+            __m512i c0 = glv::v_sub(glv::v_add(cc, gg), ff);
+            __m512i c1 = glv::v_sub(glv::v_add(aa, cc),
+                                    glv::v_add(glv::v_add(ee, ee), dd));
+            __m512i c2 = glv::v_sub(bb, gg);
+            long long* op = (long long*)(out + 3 * i);
+            _mm512_i64scatter_epi64(op, tidx, c0, 8);
+            _mm512_i64scatter_epi64(op + 1, tidx, c1, 8);
+            _mm512_i64scatter_epi64(op + 2, tidx, c2, 8);
+        }
+    }
+#endif
+    for (; i < n; i++) {
+        const u64* x = a + 3 * i;
+        u64 aa = gl_mul(gl_add(x[0], x[1]), gl_add(t[0], t[1]));
+        u64 bb = gl_mul(gl_add(x[0], x[2]), gl_add(t[0], t[2]));
+        u64 cc = gl_mul(gl_add(x[1], x[2]), gl_add(t[1], t[2]));
+        u64 dd = gl_mul(x[0], t[0]);
+        u64 ee = gl_mul(x[1], t[1]);
+        u64 ff = gl_mul(x[2], t[2]);
+        u64 gg = gl_sub(dd, ee);
+        out[3 * i + 0] = gl_sub(gl_add(cc, gg), ff);
+        out[3 * i + 1] = gl_sub(gl_add(aa, cc), gl_add(gl_add(ee, ee), dd));
+        out[3 * i + 2] = gl_sub(bb, gg);
+    }
+}
+
+// out[i] = p - a[i] (0 -> 0)
+void gl_vec_neg(const u64* a, u64* out, size_t n) {
+    size_t i = 0;
+#ifdef GL_HAVE_AVX512
+    if (have_avx512()) {
+        const __m512i vp = glv::vP();
+        const __m512i z = _mm512_setzero_si512();
+        for (; i + 8 <= n; i += 8) {
+            __m512i v = _mm512_loadu_si512(a + i);
+            __mmask8 nz = _mm512_cmpneq_epu64_mask(v, z);
+            _mm512_storeu_si512(out + i,
+                                _mm512_maskz_sub_epi64(nz, vp, v));
+        }
+    }
+#endif
+    for (; i < n; i++) out[i] = a[i] ? P - a[i] : 0;
+}
+
 // Inclusive prefix product along a flat array (serial dependency).
 void gl_vec_prefix_product(const u64* a, u64* out, size_t n) {
     u64 acc = 1;

@@ -134,8 +134,8 @@ def _binop(op: str, a, da, b, db):
         if da == 3 and db == 3:
             return f3g.mul(a, b), 3
         if da == 3:
-            return gl.mul(a, b), 3  # broadcast [n,1] over [n,3]
-        return gl.mul(b, a), 3
+            return f3g.mul_base(a, b[:, 0]), 3  # [n,3] scaled by [n] base
+        return f3g.mul_base(b, a[:, 0]), 3
     if op == "add":
         if da == db:
             return gl.add(a, b), da
