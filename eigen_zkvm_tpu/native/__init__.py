@@ -133,6 +133,8 @@ class _GlVec:
         lib.gl_f3_mul_base.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
         lib.gl_f3_mul_triple.argtypes = [u64p, u64p, u64p, ctypes.c_size_t]
         lib.gl_vec_neg.argtypes = [u64p, u64p, ctypes.c_size_t]
+        lib.gl_vec_mul_rows.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
+                                        ctypes.c_size_t]
 
     @staticmethod
     def _prep(a):
@@ -170,12 +172,31 @@ class _GlVec:
                            a, b, rscalar_fn=self._lib.gl_vec_rsub_scalar)
 
     def try_mul(self, a, b):
+        # [.., k] * [.., 1] row-scale broadcasts (coefficient/quotient
+        # scaling, ext-by-base products) take the single-pass kernel
+        if isinstance(a, np.ndarray) and isinstance(b, np.ndarray) \
+                and a.ndim == b.ndim and a.ndim >= 2:
+            if b.shape == a.shape[:-1] + (1,) and a.shape[-1] > 1:
+                return self._mul_rows(a, b)
+            if a.shape == b.shape[:-1] + (1,) and b.shape[-1] > 1:
+                return self._mul_rows(b, a)
         r = self._binop(self._lib.gl_vec_mul, self._lib.gl_vec_mul_scalar,
                         a, b)
         if r is None and np.ndim(a) == 0:  # mul commutes
             r = self._binop(self._lib.gl_vec_mul,
                             self._lib.gl_vec_mul_scalar, b, a)
         return r
+
+    def _mul_rows(self, a, s):
+        av = self._prep(a)
+        sv = self._prep(s)
+        if av is None or sv is None:
+            return None
+        k = av.shape[-1]
+        out = np.empty_like(av)
+        self._lib.gl_vec_mul_rows(_ptr(av), _ptr(sv), _ptr(out),
+                                  av.size // k, k)
+        return out
 
     def muladd(self, a, b, c):
         out = np.empty_like(a)
@@ -348,6 +369,11 @@ class _EcCurve:
 ec_bn254: _EcCurve | None = None
 ec_bls12381: _EcCurve | None = None
 
+_VMHOST_SRC = os.path.join(_DIR, "vm_host.cpp")
+_VMHOST_SO = os.path.join(_DIR, "libvm_host.so")
+
+vm_host = None  # ctypes lib for the host segment executor
+
 
 def _build_ec() -> bool:
     try:
@@ -391,6 +417,18 @@ def _init():
             gl_vec = _GlVec(ctypes.CDLL(_GLVEC_SO))
         except (OSError, AttributeError):
             gl_vec = None
+
+    global vm_host
+    if (not os.path.exists(_VMHOST_SO)
+            or os.path.getmtime(_VMHOST_SO) < os.path.getmtime(_VMHOST_SRC)):
+        if not _build_so(_VMHOST_SRC, _VMHOST_SO):
+            return
+    try:
+        from ..stark import vm_native
+
+        vm_host = vm_native.bind(ctypes.CDLL(_VMHOST_SO))
+    except (OSError, AttributeError, ImportError):
+        vm_host = None
 
     global ec_bn254, ec_bls12381
     if (not os.path.exists(_EC_SO)

@@ -293,6 +293,30 @@ void gl_f3_mul_triple(const u64* a, const u64* t, u64* out, size_t n) {
     }
 }
 
+// out[i, j] = a[i, j] * s[i] — row scaling for any row width k (the
+// [.., k] x [.., 1] broadcast of coefficient/quotient scaling).  Contiguous
+// single pass; the k >= 8 inner loop vectorizes, small k relies on
+// cross-iteration ILP of the branchless scalar mul.
+void gl_vec_mul_rows(const u64* a, const u64* s, u64* out, size_t n,
+                     size_t k) {
+    for (size_t i = 0; i < n; i++) {
+        u64 sc = s[i];
+        const u64* row = a + i * k;
+        u64* orow = out + i * k;
+        size_t j = 0;
+#ifdef GL_HAVE_AVX512
+        if (k >= 8 && have_avx512()) {
+            const __m512i vs = _mm512_set1_epi64((long long)sc);
+            for (; j + 8 <= k; j += 8)
+                _mm512_storeu_si512(orow + j,
+                                    glv::v_mul(_mm512_loadu_si512(row + j),
+                                               vs));
+        }
+#endif
+        for (; j < k; j++) orow[j] = gl_mul(row[j], sc);
+    }
+}
+
 // out[i] = p - a[i] (0 -> 0)
 void gl_vec_neg(const u64* a, u64* out, size_t n) {
     size_t i = 0;

@@ -24,8 +24,9 @@ from .vm import ProverContext, execute_segment
 
 
 def _exec_segment(ctx, segment, dom):
-    """Dispatch one compiled segment to the device executor when enabled
-    (EIGEN_ZKVM_TPU_VM=1, ops/vm_jax.py) else the numpy column VM."""
+    """Dispatch one compiled segment: the device executor when enabled
+    (EIGEN_ZKVM_TPU_VM=1, ops/vm_jax.py), else the native cache-blocked host
+    executor (native/vm_host.cpp), else the numpy column VM."""
     import os
 
     if os.environ.get("EIGEN_ZKVM_TPU_VM"):
@@ -33,6 +34,11 @@ def _exec_segment(ctx, segment, dom):
 
         if vm_jax.enabled():
             return vm_jax.execute_segment(ctx, segment, dom)
+    if not os.environ.get("EIGEN_ZKVM_NO_NATIVE"):
+        from . import vm_native
+
+        if vm_native.execute_segment(ctx, segment, dom):
+            return
     execute_segment(ctx, segment, dom)
 
 

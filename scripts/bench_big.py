@@ -66,6 +66,9 @@ def main():
     ap.add_argument("--width", type=int, default=8)
     ap.add_argument("--queries", type=int, default=8)
     ap.add_argument("--skip-verify", action="store_true")
+    ap.add_argument("--reps", type=int, default=1,
+                    help="prove N times; report the LAST run (steady-state: "
+                         "device-path compiles are cached per process)")
     args = ap.parse_args()
 
     from eigen_zkvm_tpu.stark.types import StarkStruct, Step
@@ -93,11 +96,12 @@ def main():
     t_setup = time.perf_counter() - t0
     print(f"setup (const tree 2^{nb + 1}): {t_setup:.2f}s", flush=True)
 
-    t0 = time.perf_counter()
-    proof = stark_gen(cm, const_pols, setup.const_tree, setup.starkinfo,
-                      setup.program, ss)
-    t_prove = time.perf_counter() - t0
-    print(f"prove: {t_prove:.2f}s", flush=True)
+    for rep in range(args.reps):
+        t0 = time.perf_counter()
+        proof = stark_gen(cm, const_pols, setup.const_tree, setup.starkinfo,
+                          setup.program, ss)
+        t_prove = time.perf_counter() - t0
+        print(f"prove[{rep}]: {t_prove:.2f}s", flush=True)
 
     ok = True
     if not args.skip_verify:
