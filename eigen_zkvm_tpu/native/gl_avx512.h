@@ -134,6 +134,66 @@ static inline __m512i v_acc_reduce(const VAcc& acc) {
     return v_reduce128(hi, lo);
 }
 
+#if defined(__AVX512IFMA__)
+#define GL_HAVE_IFMA 1
+
+// 52-bit-radix lazy dot products on the vpmadd52 units: operand x < 2^64
+// splits as x0 + x1*2^52, constant m as m0 + m1*2^52, and each product
+// accumulates into three 52-bit-chunk accumulators (r0 + r1*2^52 +
+// r2*2^104) with SEVEN fused multiply-adds and no other ALU work.  Up to
+// ~60 terms fit before the 64-bit accumulators can overflow (12-term MDS
+// rows use it).  Final fold reuses v_acc_reduce via 2^64 = EPS, 2^128 =
+// EPS^2 (mod p).
+struct IAcc {
+    __m512i r0, r1, r2;
+};
+
+static inline IAcc i_acc_zero() {
+    IAcc a;
+    a.r0 = a.r1 = a.r2 = _mm512_setzero_si512();
+    return a;
+}
+
+static inline void i_split(__m512i x, __m512i* x0, __m512i* x1) {
+    const __m512i M52 = _mm512_set1_epi64((1LL << 52) - 1);
+    *x0 = _mm512_and_si512(x, M52);
+    *x1 = _mm512_srli_epi64(x, 52);
+}
+
+static inline void i_acc_mul(IAcc& a, __m512i x0, __m512i x1, __m512i m0,
+                             __m512i m1) {
+    a.r0 = _mm512_madd52lo_epu64(a.r0, x0, m0);
+    a.r1 = _mm512_madd52hi_epu64(a.r1, x0, m0);
+    a.r1 = _mm512_madd52lo_epu64(a.r1, x0, m1);
+    a.r1 = _mm512_madd52lo_epu64(a.r1, x1, m0);
+    a.r2 = _mm512_madd52hi_epu64(a.r2, x0, m1);
+    a.r2 = _mm512_madd52hi_epu64(a.r2, x1, m0);
+    a.r2 = _mm512_madd52lo_epu64(a.r2, x1, m1);  // x1*m1 < 2^24, lo is exact
+}
+
+static inline __m512i i_acc_reduce(const IAcc& a) {
+    // value = r0 + r1*2^52 + r2*2^104  ->  (lo, hi, hi2) base-2^64 limbs,
+    // with explicit wrap carries on the middle limb
+    const __m512i one = _mm512_set1_epi64(1);
+    __m512i lo = _mm512_add_epi64(a.r0, _mm512_slli_epi64(a.r1, 52));
+    __mmask8 c1 = _mm512_cmplt_epu64_mask(lo, a.r0);
+    __m512i t = _mm512_slli_epi64(a.r2, 40);       // (r2 mod 2^24) << 40
+    __m512i hi = _mm512_add_epi64(_mm512_srli_epi64(a.r1, 12), t);
+    __mmask8 w1 = _mm512_cmplt_epu64_mask(hi, t);
+    __m512i hi_c = _mm512_mask_add_epi64(hi, c1, hi, one);
+    __mmask8 w2 = (__mmask8)(c1 & _mm512_cmpeq_epu64_mask(
+        hi_c, _mm512_setzero_si512()));
+    __m512i hi2 = _mm512_srli_epi64(a.r2, 24);
+    hi2 = _mm512_mask_add_epi64(hi2, w1, hi2, one);
+    hi2 = _mm512_mask_add_epi64(hi2, w2, hi2, one);
+    VAcc v;
+    v.lo = lo;
+    v.hi = hi_c;
+    v.hi2 = hi2;
+    return v_acc_reduce(v);
+}
+#endif  // __AVX512IFMA__
+
 }  // namespace glv
 
 #endif  // __AVX512F__ && __AVX512DQ__

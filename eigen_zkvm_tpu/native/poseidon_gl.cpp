@@ -203,7 +203,40 @@ static bool have_avx512() {
     return ok;
 }
 
+#ifdef GL_HAVE_IFMA
+static bool have_ifma() {
+    static const bool ok = __builtin_cpu_supports("avx512ifma");
+    return ok;
+}
+
+// 52-bit splits of the matrix/sparse constants, filled by set_constants
+static u64 g_M0[T][T], g_M1[T][T];
+static u64 g_Pm0[T][T], g_Pm1[T][T];
+static u64 g_S0[N_P * (2 * T - 1)], g_S1[N_P * (2 * T - 1)];
+
+static inline void mat_v8_ifma(__m512i st[T], const u64 m0[T][T],
+                               const u64 m1[T][T]) {
+    __m512i xs0[T], xs1[T], out[T];
+    for (int j = 0; j < T; j++) glv::i_split(st[j], &xs0[j], &xs1[j]);
+    for (int i = 0; i < T; i++) {
+        glv::IAcc acc = glv::i_acc_zero();
+        for (int j = 0; j < T; j++)
+            glv::i_acc_mul(acc, xs0[j], xs1[j],
+                           _mm512_set1_epi64((long long)m0[j][i]),
+                           _mm512_set1_epi64((long long)m1[j][i]));
+        out[i] = glv::i_acc_reduce(acc);
+    }
+    std::memcpy(st, out, sizeof(out));
+}
+#endif
+
 static inline void mat_v8(__m512i st[T], const u64 mat[T][T]) {
+#ifdef GL_HAVE_IFMA
+    if (have_ifma()) {
+        if (mat == g_M) return mat_v8_ifma(st, g_M0, g_M1);
+        if (mat == g_Pm) return mat_v8_ifma(st, g_Pm0, g_Pm1);
+    }
+#endif
     __m512i out[T];
     for (int i = 0; i < T; i++) {
         glv::VAcc acc = glv::v_acc_zero();
@@ -239,14 +272,36 @@ static void permute_v8(__m512i st[T]) {
         __m512i s0 = v_add(v_pow7(st[0]),
                            _mm512_set1_epi64(
                                (long long)g_C[(HALF_F + 1) * T + r]));
-        VAcc new0 = v_acc_zero();
-        v_acc_mul(new0, s0, _mm512_set1_epi64((long long)srow[0]));
-        for (int j = 1; j < T; j++)
-            v_acc_mul(new0, st[j], _mm512_set1_epi64((long long)srow[j]));
+        __m512i new0_v;
+#ifdef GL_HAVE_IFMA
+        if (have_ifma()) {
+            const u64* s0row = &g_S0[(2 * T - 1) * r];
+            const u64* s1row = &g_S1[(2 * T - 1) * r];
+            IAcc acc = i_acc_zero();
+            __m512i a0, a1;
+            i_split(s0, &a0, &a1);
+            i_acc_mul(acc, a0, a1, _mm512_set1_epi64((long long)s0row[0]),
+                      _mm512_set1_epi64((long long)s1row[0]));
+            for (int j = 1; j < T; j++) {
+                i_split(st[j], &a0, &a1);
+                i_acc_mul(acc, a0, a1,
+                          _mm512_set1_epi64((long long)s0row[j]),
+                          _mm512_set1_epi64((long long)s1row[j]));
+            }
+            new0_v = i_acc_reduce(acc);
+        } else
+#endif
+        {
+            VAcc new0 = v_acc_zero();
+            v_acc_mul(new0, s0, _mm512_set1_epi64((long long)srow[0]));
+            for (int j = 1; j < T; j++)
+                v_acc_mul(new0, st[j], _mm512_set1_epi64((long long)srow[j]));
+            new0_v = v_acc_reduce(new0);
+        }
         for (int k = 1; k < T; k++)
             st[k] = v_add(st[k],
                           v_mul(s0, _mm512_set1_epi64((long long)scol[k - 1])));
-        st[0] = v_acc_reduce(new0);
+        st[0] = new0_v;
     }
 
     int base = (HALF_F + 1) * T + N_P;
@@ -318,6 +373,20 @@ void poseidon_gl_set_constants(const u64* C, const u64* M, const u64* Pm,
     std::memcpy(g_M, M, sizeof(g_M));
     std::memcpy(g_Pm, Pm, sizeof(g_Pm));
     std::memcpy(g_S, S, sizeof(g_S));
+#ifdef GL_HAVE_IFMA
+    const u64 M52 = (1ULL << 52) - 1;
+    for (int j = 0; j < T; j++)
+        for (int i = 0; i < T; i++) {
+            g_M0[j][i] = g_M[j][i] & M52;
+            g_M1[j][i] = g_M[j][i] >> 52;
+            g_Pm0[j][i] = g_Pm[j][i] & M52;
+            g_Pm1[j][i] = g_Pm[j][i] >> 52;
+        }
+    for (int k = 0; k < N_P * (2 * T - 1); k++) {
+        g_S0[k] = g_S[k] & M52;
+        g_S1[k] = g_S[k] >> 52;
+    }
+#endif
 }
 
 // state: [B, 12] in-place permute
