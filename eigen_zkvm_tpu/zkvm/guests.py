@@ -93,3 +93,148 @@ loop:
 done:
     halt
 """
+
+# RAM smoke guest: stores n tape values to memory, reads them back and
+# sums them into x7.  Exercises lw/sw and the sorted-memory argument
+# (machine.py RAM section) end to end.
+MEMSUM = """
+    in   x1          # n
+    li   x2, 0x100   # base
+    li   x3, 0       # i
+    li   x4, 1
+store:
+    beq  x3, x1, rd
+    in   x5
+    add  x6, x2, x3
+    sw   x5, x6, 0
+    add  x3, x3, x4
+    j    store
+rd:
+    li   x3, 0
+    li   x7, 0       # sum
+load:
+    beq  x3, x1, done
+    add  x6, x2, x3
+    lw   x5, x6, 0
+    add  x7, x7, x5
+    add  x3, x3, x4
+    j    load
+done:
+    halt
+"""
+
+# EVM-subset interpreter (the reference's zkvm/program/evm analog, natively
+# authored instead of compiling the rust-evm crate through powdr): executes
+# EVM bytecode with one bytecode BYTE per RAM word (tape: n_code then the
+# code words), a word-per-slot EVM stack at 0x2000, and leaves the final
+# stack top in x10.  Implemented opcodes: STOP, ADD(0x01), MUL(0x02),
+# SUB(0x03), POP(0x50), JUMPI(0x57), JUMPDEST(0x5b), PUSH1(0x60),
+# DUP1(0x80), SWAP1(0x90); 32-bit word arithmetic (mod 2^32 instead of
+# 2^256 — the machine word).  Unknown opcodes halt like STOP.
+EVM = """
+    in   x1            # n_code
+    li   x2, 0x1000    # code base
+    li   x3, 0         # i
+    li   x7, 1
+ldcode:
+    beq  x3, x1, run
+    in   x5
+    add  x6, x2, x3
+    sw   x5, x6, 0
+    add  x3, x3, x7
+    j    ldcode
+run:
+    li   x2, 0         # evm pc
+    li   x3, 0x2000    # sp (next free slot)
+step:
+    li   x6, 0x1000
+    add  x6, x6, x2
+    lw   x4, x6, 0     # opcode
+    add  x2, x2, x7    # pc++
+    li   x5, 0x60
+    beq  x4, x5, op_push1
+    li   x5, 0x01
+    beq  x4, x5, op_add
+    li   x5, 0x02
+    beq  x4, x5, op_mul
+    li   x5, 0x03
+    beq  x4, x5, op_sub
+    li   x5, 0x80
+    beq  x4, x5, op_dup1
+    li   x5, 0x90
+    beq  x4, x5, op_swap1
+    li   x5, 0x50
+    beq  x4, x5, op_pop
+    li   x5, 0x57
+    beq  x4, x5, op_jumpi
+    li   x5, 0x5b
+    beq  x4, x5, step  # JUMPDEST is a no-op
+    li   x5, 0x2000    # STOP/unknown: pop result if any
+    beq  x3, x5, fin0
+    sub  x3, x3, x7
+    lw   x10, x3, 0
+    halt
+fin0:
+    li   x10, 0
+    halt
+op_push1:
+    li   x6, 0x1000
+    add  x6, x6, x2
+    lw   x5, x6, 0
+    add  x2, x2, x7
+    sw   x5, x3, 0
+    add  x3, x3, x7
+    j    step
+op_add:
+    sub  x3, x3, x7
+    lw   x5, x3, 0
+    sub  x3, x3, x7
+    lw   x6, x3, 0
+    add  x5, x5, x6
+    sw   x5, x3, 0
+    add  x3, x3, x7
+    j    step
+op_mul:
+    sub  x3, x3, x7
+    lw   x5, x3, 0
+    sub  x3, x3, x7
+    lw   x6, x3, 0
+    mul  x5, x5, x6
+    sw   x5, x3, 0
+    add  x3, x3, x7
+    j    step
+op_sub:
+    sub  x3, x3, x7
+    lw   x5, x3, 0     # a = top
+    sub  x3, x3, x7
+    lw   x6, x3, 0     # b
+    sub  x5, x5, x6    # EVM SUB pushes a - b
+    sw   x5, x3, 0
+    add  x3, x3, x7
+    j    step
+op_dup1:
+    sub  x6, x3, x7
+    lw   x5, x6, 0
+    sw   x5, x3, 0
+    add  x3, x3, x7
+    j    step
+op_swap1:
+    sub  x6, x3, x7
+    lw   x5, x6, 0
+    sub  x8, x6, x7
+    lw   x9, x8, 0
+    sw   x5, x8, 0
+    sw   x9, x6, 0
+    j    step
+op_pop:
+    sub  x3, x3, x7
+    j    step
+op_jumpi:
+    sub  x3, x3, x7
+    lw   x5, x3, 0     # dest
+    sub  x3, x3, x7
+    lw   x6, x3, 0     # cond
+    beq  x6, x0, step
+    mv   x2, x5
+    j    step
+"""

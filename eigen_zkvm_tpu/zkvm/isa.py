@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 OPS = ("add", "sub", "mul", "addi", "beq", "bne", "blt", "jal", "jalr",
-       "in", "halt")
+       "in", "halt", "lw", "sw")
 N_REGS = 16
 WORD = 1 << 32
 
@@ -92,6 +92,12 @@ def assemble(src: str) -> list[Instr]:
                               imm=imm_or_label(args[2]) % WORD))
         elif op == "in":
             prog.append(Instr("in", _reg(args[0])))
+        elif op == "lw":  # lw rd, rs1, imm : rd <- M[rs1 + imm]
+            prog.append(Instr("lw", _reg(args[0]), _reg(args[1]),
+                              imm=imm_or_label(args[2]) % WORD))
+        elif op == "sw":  # sw rs2, rs1, imm : M[rs1 + imm] <- rs2
+            prog.append(Instr("sw", 0, _reg(args[1]), _reg(args[0]),
+                              imm=imm_or_label(args[2]) % WORD))
         elif op == "halt":
             prog.append(Instr("halt"))
         elif op == "nop":
@@ -109,12 +115,18 @@ class State:
     regs: list
     in_idx: int
     halted: bool = False
+    # (addr, value, is_write) of the memory op executed by the PREVIOUS
+    # cycle (the one that produced this state), or None
+    mem_op: tuple | None = None
 
 
 def execute(prog: list[Instr], inputs: list[int], max_cycles: int = 1 << 20,
-            state: State | None = None):
+            state: State | None = None, mem: dict | None = None):
     """Run the program; returns (states, final_state) where states[i] is the
-    machine state BEFORE cycle i (states has len cycles+1)."""
+    machine state BEFORE cycle i (states has len cycles+1).  `mem` is the
+    word-addressed RAM (lw/sw); it is mutated in place."""
+    if mem is None:
+        mem = {}
     st = state or State(0, [0] * N_REGS, 0)
     states = [State(st.pc, list(st.regs), st.in_idx, st.halted)]
     for _ in range(max_cycles):
@@ -150,8 +162,18 @@ def execute(prog: list[Instr], inputs: list[int], max_cycles: int = 1 << 20,
         elif ins.op == "in":
             val = inputs[st.in_idx] % WORD
             st.in_idx += 1
+        mem_op = None
+        if ins.op == "lw":
+            addr = (a + ins.imm) % WORD
+            val = mem.get(addr, 0)
+            mem_op = (addr, val, 0)
+        elif ins.op == "sw":
+            addr = (a + ins.imm) % WORD
+            mem[addr] = b2
+            mem_op = (addr, b2, 1)
         if val is not None and rd != 0:
             regs[rd] = val
         st.pc = npc
-        states.append(State(st.pc, list(regs), st.in_idx, st.halted))
+        states.append(State(st.pc, list(regs), st.in_idx, st.halted,
+                            mem_op=mem_op))
     return states, st

@@ -36,9 +36,11 @@ class MiniRVMachine:
                  tape_size: int | None = None):
         self.program = program
         self.n_bits = n_bits
+        assert n_bits <= 16, "step-difference range checks use 2 bytes"
         self.N = 1 << n_bits
         assert len(program) <= self.N
         self.tape_size = tape_size if tape_size is not None else self.N // 4
+        self.has_mem = any(i.op in ("lw", "sw") for i in program)
         self._build_pil()
 
     def _build_pil(self):
@@ -60,6 +62,8 @@ class MiniRVMachine:
         self.c_tape_on = p.const_pol("Zkvm.TAPE_ON")
         self.c_tape_idx = p.const_pol("Zkvm.TAPE_IDX")
         self.c_tape_val = p.const_pol("Zkvm.TAPE_VAL")
+        if self.has_mem:
+            self.c_line = p.const_pol("Zkvm.LINE")
 
         # commits
         self.m_pc = p.cm_pol("Zkvm.pc")
@@ -81,6 +85,21 @@ class MiniRVMachine:
         self.m_bytes_rd = p.cm_pol("Zkvm.bytes_rd", 4)
         self.m_bytes_hi = p.cm_pol("Zkvm.bytes_hi", 4)
         self.m_bytes_lt = p.cm_pol("Zkvm.bytes_lt", 4)
+        if self.has_mem:
+            # execution side of the RAM argument
+            self.m_addr = p.cm_pol("Zkvm.addr")
+            self.m_ac = p.cm_pol("Zkvm.ac")
+            self.m_bytes_addr = p.cm_pol("Zkvm.bytes_addr", 4)
+            # address/step-sorted side
+            self.s_on = p.cm_pol("Zkvm.s_on")
+            self.s_addr = p.cm_pol("Zkvm.s_addr")
+            self.s_step = p.cm_pol("Zkvm.s_step")
+            self.s_val = p.cm_pol("Zkvm.s_val")
+            self.s_iswr = p.cm_pol("Zkvm.s_iswr")
+            self.s_same = p.cm_pol("Zkvm.s_same")
+            self.s_dinv = p.cm_pol("Zkvm.s_dinv")
+            self.s_bytes_sd = p.cm_pol("Zkvm.s_bytes_sd", 2)
+            self.s_bytes_ad = p.cm_pol("Zkvm.s_bytes_ad", 4)
 
         sel = {op: p.cm(self.m_sel + i) for i, op in enumerate(SEL_OPS)}
         cm, const, num = p.cm, p.const, p.num
@@ -189,6 +208,86 @@ class MiniRVMachine:
                   sel_f=sel["in"], sel_t=const(self.c_tape_on),
                   file_name="zkvm.pil", line=21)
 
+        # ---- RAM: address/step-sorted memory argument --------------------
+        # Execution rows with lw/sw contribute (addr, LINE, value, is_write)
+        # to a selected permutation against a sorted copy; the sorted side
+        # proves per-address chronology: step strictly increases within an
+        # address segment, reads return the previous value, a fresh address
+        # starts with a write or reads zero (zero-initialized RAM), and
+        # addresses strictly increase segment to segment.  This is the
+        # native analog of powdr's memory machine (reference zkvm guests
+        # get RAM from powdr-asm).  Degrees stay <= 2 via intermediates.
+        if self.has_mem:
+            is_mem = p.add(sel["lw"], sel["sw"])
+            addr, ac = cm(self.m_addr), cm(self.m_ac)
+            p.identity(p.mul(ac, p.sub(num(1), ac)), "zkvm.pil", 30)
+            p.identity(p.mul(is_mem,
+                             p.sub(p.add(rs1v, imm),
+                                   p.add(addr, p.smul(W32, ac)))),
+                       "zkvm.pil", 31)
+            addr_bytes = p.lin([(1 << (8 * k), cm(self.m_bytes_addr + k))
+                                for k in range(4)])
+            p.identity(p.sub(addr, addr_bytes), "zkvm.pil", 32)
+            for k in range(4):
+                p.plookup(f=[cm(self.m_bytes_addr + k)],
+                          t=[const(self.c_byte)],
+                          file_name="zkvm.pil", line=33)
+            im_vale = p.intermediate(p.add(p.mul(sel["lw"], rdv),
+                                           p.mul(sel["sw"], rs2v)))
+
+            s_on, s_addr = cm(self.s_on), cm(self.s_addr)
+            s_step, s_val = cm(self.s_step), cm(self.s_val)
+            s_iswr, s_same = cm(self.s_iswr), cm(self.s_same)
+            s_onp = cm(self.s_on, True)
+            s_addrp = cm(self.s_addr, True)
+            s_stepp = cm(self.s_step, True)
+            s_valp = cm(self.s_val, True)
+            s_iswrp = cm(self.s_iswr, True)
+
+            p.permutation(f=[addr, const(self.c_line), im_vale, sel["sw"]],
+                          t=[s_addr, s_step, s_val, s_iswr],
+                          sel_f=is_mem, sel_t=s_on,
+                          file_name="zkvm.pil", line=34)
+
+            for b in (s_on, s_iswr, s_same):
+                p.identity(p.mul(b, p.sub(num(1), b)), "zkvm.pil", 35)
+            # participating rows are a prefix: once off, stays off
+            # (gated off on the wrap-around row, where s_on' is row 0)
+            im_off = p.intermediate(p.mul(s_onp, p.sub(num(1), s_on)))
+            p.identity(p.mul(not_last, im_off), "zkvm.pil", 36)
+
+            d = p.sub(s_addrp, s_addr)
+            im_seg = p.intermediate(p.mul(s_on, s_onp))
+            p.identity(p.mul(s_same, d), "zkvm.pil", 37)
+            im_eq = p.intermediate(p.mul(d, cm(self.s_dinv)))
+            p.identity(p.mul(im_seg, p.sub(p.add(s_same, im_eq), num(1))),
+                       "zkvm.pil", 38)
+
+            im_same = p.intermediate(p.mul(im_seg, s_same))
+            sd_bytes = p.lin([(1 << (8 * k), cm(self.s_bytes_sd + k))
+                              for k in range(2)])
+            p.identity(p.mul(im_same,
+                             p.sub(p.sub(s_stepp, p.add(s_step, num(1))),
+                                   sd_bytes)), "zkvm.pil", 39)
+            im_rd = p.intermediate(p.mul(im_same, p.sub(num(1), s_iswrp)))
+            p.identity(p.mul(im_rd, p.sub(s_valp, s_val)), "zkvm.pil", 40)
+
+            im_new = p.intermediate(p.mul(im_seg, p.sub(num(1), s_same)))
+            im_nw = p.intermediate(p.mul(im_new, p.sub(num(1), s_iswrp)))
+            p.identity(p.mul(im_nw, s_valp), "zkvm.pil", 41)
+            ad_bytes = p.lin([(1 << (8 * k), cm(self.s_bytes_ad + k))
+                              for k in range(4)])
+            p.identity(p.mul(im_new, p.sub(p.sub(d, num(1)), ad_bytes)),
+                       "zkvm.pil", 42)
+            # the very first participating row: write, or a zero read
+            im_g0 = p.intermediate(p.mul(const(self.c_l1), s_on))
+            im_g0w = p.intermediate(p.mul(im_g0, p.sub(num(1), s_iswr)))
+            p.identity(p.mul(im_g0w, s_val), "zkvm.pil", 43)
+            for arr, cnt in ((self.s_bytes_sd, 2), (self.s_bytes_ad, 4)):
+                for k in range(cnt):
+                    p.plookup(f=[cm(arr + k)], t=[const(self.c_byte)],
+                              file_name="zkvm.pil", line=44)
+
         # continuation publics: state at the first and last row
         l1 = const(self.c_l1)
         binds = [("pc_in", self.m_pc, 0), ("pc_out", self.m_pc, N - 1),
@@ -212,6 +311,8 @@ class MiniRVMachine:
         buf[0, self.c_l1] = 1
         buf[N - 1, self.c_llast] = 1
         buf[:, self.c_byte] = np.arange(N, dtype=np.uint64) % 256
+        if self.has_mem:
+            buf[:, self.c_line] = np.arange(N, dtype=np.uint64)
         op_index = {op: i for i, op in enumerate(SEL_OPS)}
         for j, ins in enumerate(self.program):
             buf[j, self.c_rom_on] = 1
@@ -219,7 +320,7 @@ class MiniRVMachine:
             buf[j, self.c_rom_sel + op_index[ins.op]] = 1
             buf[j, self.c_rom_imm] = ins.imm
             writes = ins.op in ("add", "sub", "mul", "addi", "jal", "jalr",
-                                "in") and ins.rd != 0
+                                "in", "lw") and ins.rd != 0
             if writes:
                 buf[j, self.c_rom_rd + ins.rd] = 1
             buf[j, self.c_rom_rs1 + ins.rs1] = 1
@@ -249,10 +350,15 @@ class MiniRVMachine:
         buf = cmp.buffer
         op_index = {op: i for i, op in enumerate(SEL_OPS)}
         prog = self.program
+        if self.has_mem and not states[-1].halted:
+            raise NotImplementedError(
+                "RAM guests must halt within one chunk (memory state is not "
+                "yet carried across continuation boundaries)")
 
         rows = list(states)
         while len(rows) < N:
             rows.append(rows[-1])  # halt spin
+        mem_ops: list = []  # (addr, step, value, is_write)
 
         for i, st in enumerate(rows):
             ins = prog[st.pc]
@@ -262,7 +368,7 @@ class MiniRVMachine:
             buf[i, self.m_sel + op_index[ins.op]] = 1
             buf[i, self.m_imm] = ins.imm
             writes = ins.op in ("add", "sub", "mul", "addi", "jal", "jalr",
-                                "in") and ins.rd != 0
+                                "in", "lw") and ins.rd != 0
             if writes:
                 buf[i, self.m_rd1h + ins.rd] = 1
             buf[i, self.m_rs11h + ins.rs1] = 1
@@ -289,6 +395,18 @@ class MiniRVMachine:
                 rdv = st.pc + 1
             elif ins.op == "in":
                 rdv = inputs[st.in_idx] % WORD
+            if ins.op in ("lw", "sw") and i + 1 < len(states):
+                addr, mval, iswr = states[i + 1].mem_op
+                mem_ops.append((addr, i, mval, iswr))
+                s = st.regs[ins.rs1] + ins.imm
+                a_c = s // WORD
+                buf[i, self.m_addr] = s % WORD
+                buf[i, self.m_ac] = a_c
+                for k in range(4):
+                    buf[i, self.m_bytes_addr + k] = ((s % WORD) >> (8 * k)) \
+                        & 0xFF
+                if ins.op == "lw":
+                    rdv = mval
             buf[i, self.m_rdv] = rdv
             buf[i, self.m_carry] = carry
             buf[i, self.m_hi] = hi
@@ -304,4 +422,35 @@ class MiniRVMachine:
             low = a - b + (1 << 32) - (1 - lt) * (1 << 32)
             for k in range(4):
                 buf[i, self.m_bytes_lt + k] = (low >> (8 * k)) & 0xFF
+
+        if self.has_mem:
+            self._fill_sorted_mem(buf, mem_ops)
         return cmp
+
+    def _fill_sorted_mem(self, buf, mem_ops):
+        """Address/step-sorted RAM columns + helper witnesses."""
+        assert len(mem_ops) <= self.N - 1, "too many memory ops for chunk"
+        ops = sorted(mem_ops)  # by (addr, step)
+        P_INT = gl.P_INT
+        for i, (addr, step, val, iswr) in enumerate(ops):
+            buf[i, self.s_on] = 1
+            buf[i, self.s_addr] = addr
+            buf[i, self.s_step] = step
+            buf[i, self.s_val] = val
+            buf[i, self.s_iswr] = iswr
+        for i in range(len(ops)):
+            # helpers live on row i and describe the i -> i+1 transition
+            if i + 1 < len(ops):
+                a0, s0 = ops[i][0], ops[i][1]
+                a1, s1 = ops[i + 1][0], ops[i + 1][1]
+                d = (a1 - a0) % P_INT
+                if d == 0:
+                    buf[i, self.s_same] = 1
+                    sd = s1 - s0 - 1
+                    buf[i, self.s_bytes_sd] = sd & 0xFF
+                    buf[i, self.s_bytes_sd + 1] = (sd >> 8) & 0xFF
+                else:
+                    buf[i, self.s_dinv] = pow(d, P_INT - 2, P_INT)
+                    ad = a1 - a0 - 1
+                    for k in range(4):
+                        buf[i, self.s_bytes_ad + k] = (ad >> (8 * k)) & 0xFF
