@@ -76,3 +76,36 @@ def hash_node(pbn, children: list[int]) -> int:
     """Internal 16-ary node: Poseidon(children, 0)."""
     assert len(children) == 16
     return pbn.hash_fr(children, 0)
+
+
+def hash_fr_batch_limbs(pbn, inp: np.ndarray, init: np.ndarray):
+    """Batched hash_fr on 4x64 limb arrays: [B, c, 4] x [B, 4] -> [B, 4]
+    (honors the curve's HASH_FR_INDEX output convention), or None when the
+    native kernel is unavailable."""
+    idx = pbn.HASH_FR_INDEX
+    res = pbn.POSEIDON.hash_batch_limbs(inp.shape[1] + 1, inp, init,
+                                        n_out=idx + 1)
+    return None if res is None else np.ascontiguousarray(res[:, idx, :])
+
+
+def hash_leaves_batch_limbs(pbn, elements: np.ndarray):
+    """All leaf rows at once: [H, w] GL values -> [H, 4] Fr digests, or
+    None without the native kernel.  w > 4 only (narrow rows pack
+    directly).  Packing is pure numpy: 3 GL values per Fr occupy limbs
+    0..2 exactly (3*64 bits < p), zero top limb."""
+    H, w = elements.shape
+    assert w > 4
+    n3 = (w + 2) // 3
+    fr = np.zeros((H, n3, 4), dtype=np.uint64)
+    for j in range(n3):
+        for k in range(3):
+            col = 3 * j + k
+            if col < w:
+                fr[:, j, k] = elements[:, col]
+    digest = np.zeros((H, 4), dtype=np.uint64)
+    for i in range(0, n3, 16):
+        chunk = np.ascontiguousarray(fr[:, i : i + 16])
+        digest = hash_fr_batch_limbs(pbn, chunk, digest)
+        if digest is None:
+            return None
+    return digest

@@ -28,7 +28,10 @@ class MerkleTreeBig:
         self.elements = elements
         self.width = width
         self.height = height
-        leaves = [lh.hash_element_array(self.PBN, elements[i]) for i in range(height)]
+        leaves = self._leaves_batch(elements, width, height)
+        if leaves is None:  # no native kernel: per-row python path
+            leaves = [lh.hash_element_array(self.PBN, elements[i])
+                      for i in range(height)]
         n = height
         cur = leaves
         self.levels = []
@@ -38,9 +41,30 @@ class MerkleTreeBig:
             self.levels.append(cur)
             if n <= 1:
                 break
-            cur = [lh.hash_node(self.PBN, cur[i * 16 : (i + 1) * 16]) for i in range(next_n)]
+            nxt = self._level_batch(cur, next_n)
+            if nxt is None:
+                nxt = [lh.hash_node(self.PBN, cur[i * 16 : (i + 1) * 16])
+                       for i in range(next_n)]
+            cur = nxt
             n = next_n
         return self
+
+    def _leaves_batch(self, elements, width, height):
+        """All leaves in one native batch (None -> python fallback)."""
+        if width <= 4:
+            return None  # direct packing, no permutations: python is fine
+        from .poseidon_big import limbs_to_ints
+
+        digs = lh.hash_leaves_batch_limbs(self.PBN, elements)
+        return None if digs is None else limbs_to_ints(digs)
+
+    def _level_batch(self, cur, next_n):
+        from .poseidon_big import int_to_limbs, limbs_to_ints
+
+        inp = int_to_limbs(cur).reshape(next_n, 16, 4)
+        init = np.zeros((next_n, 4), dtype=np.uint64)
+        digs = lh.hash_fr_batch_limbs(self.PBN, inp, init)
+        return None if digs is None else limbs_to_ints(digs)
 
     def root(self) -> int:
         return self.levels[-1][0]

@@ -44,6 +44,22 @@ class _Tables:
             self.S[t] = _ints(data[f"S_{t}"])
 
 
+def int_to_limbs(vals) -> np.ndarray:
+    """List of ints -> [n, 4] u64 LE limb array."""
+    M = (1 << 64) - 1
+    return np.array([[(int(v) >> (64 * k)) & M for k in range(4)]
+                     for v in vals], dtype=np.uint64)
+
+
+def limbs_to_ints(arr: np.ndarray) -> list[int]:
+    flat = arr.reshape(-1, 4)
+    return [int(r[0]) | int(r[1]) << 64 | int(r[2]) << 128
+            | int(r[3]) << 192 for r in flat]
+
+
+_NATIVE_INST = {"poseidon_bn128_opt.npz": 0, "poseidon_bls12381_opt.npz": 1}
+
+
 class PoseidonBig:
     N_ROUNDS_F = 8
 
@@ -52,11 +68,60 @@ class PoseidonBig:
         self._npz_name = npz_name
         self.N_ROUNDS_P = n_rounds_p
         self._tables = None
+        self._nat = "unchecked"
 
     def tables(self) -> _Tables:
         if self._tables is None:
             self._tables = _Tables(self._npz_name)
         return self._tables
+
+    def native(self):
+        """(lib, instance_id) of the C kernel (native/poseidon_fr.cpp), or
+        None.  Field + all 16 t-tables are registered on first use."""
+        if self._nat != "unchecked":
+            return self._nat
+        from .. import native
+
+        lib = native.poseidon_fr
+        if lib is None or os.environ.get("EIGEN_ZKVM_NO_NATIVE"):
+            self._nat = None
+            return None
+        inst = _NATIVE_INST[self._npz_name]
+        from .. import native as n_mod
+
+        p_l = np.ascontiguousarray(int_to_limbs([self.P]))
+        lib.posfr_set_field(inst, n_mod._ptr(p_l))
+        data = np.load(os.path.join(_DIR, "..", "data", self._npz_name))
+        for t in range(2, 18):
+            C = np.ascontiguousarray(data[f"C_{t}"], dtype=np.uint64)
+            M = np.ascontiguousarray(data[f"M_{t}"], dtype=np.uint64)
+            Pm = np.ascontiguousarray(data[f"P_{t}"], dtype=np.uint64)
+            S = np.ascontiguousarray(data[f"S_{t}"], dtype=np.uint64)
+            lib.posfr_set_table(
+                inst, t, n_mod._ptr(C), C.size // 4, n_mod._ptr(M),
+                n_mod._ptr(Pm), n_mod._ptr(S), S.size // 4,
+                self.N_ROUNDS_P[t - 2])
+        self._nat = (lib, inst)
+        return self._nat
+
+    def hash_batch_limbs(self, t: int, inp: np.ndarray, init: np.ndarray,
+                         n_out: int = 1) -> np.ndarray | None:
+        """Batch sponge on 4x64 limb arrays: inp [B, t-1, 4], init [B, 4]
+        -> [B, n_out, 4]; None when the native kernel is unavailable."""
+        nat = self.native()
+        if nat is None:
+            return None
+        lib, inst = nat
+        from .. import native as n_mod
+
+        inp = np.ascontiguousarray(inp, dtype=np.uint64)
+        init = np.ascontiguousarray(init, dtype=np.uint64)
+        B = inp.shape[0]
+        assert inp.shape == (B, t - 1, 4) and init.shape == (B, 4)
+        out = np.empty((B, n_out, 4), dtype=np.uint64)
+        lib.posfr_hash_batch(inst, t, n_mod._ptr(inp), n_mod._ptr(init),
+                             n_mod._ptr(out), B, n_out)
+        return out
 
     def _pow5(self, x: int) -> int:
         P = self.P
@@ -67,6 +132,12 @@ class PoseidonBig:
         """Poseidon sponge call: 1..16 inputs + capacity init -> outputs."""
         if not 1 <= len(inp) <= 16:
             raise ValueError(f"Wrong inputs length {len(inp)}")
+        if self.native() is not None:
+            t = len(inp) + 1
+            res = self.hash_batch_limbs(
+                t, int_to_limbs(inp)[None, :, :],
+                int_to_limbs([init_state]), n_out=out)
+            return limbs_to_ints(res[0])
         P = self.P
         _pow5 = self._pow5
         t = len(inp) + 1

@@ -374,6 +374,20 @@ _VMHOST_SO = os.path.join(_DIR, "libvm_host.so")
 
 vm_host = None  # ctypes lib for the host segment executor
 
+_POSFR_SRC = os.path.join(_DIR, "poseidon_fr.cpp")
+_POSFR_SO = os.path.join(_DIR, "libposeidon_fr.so")
+
+poseidon_fr = None  # ctypes lib for big-field (BN254/BLS Fr) Poseidon
+
+
+def _bind_posfr(lib):
+    vp = ctypes.c_void_p
+    ci = ctypes.c_int
+    lib.posfr_set_field.argtypes = [ci, vp]
+    lib.posfr_set_table.argtypes = [ci, ci, vp, ci, vp, vp, vp, ci, ci]
+    lib.posfr_hash_batch.argtypes = [ci, ci, vp, vp, vp, ctypes.c_size_t, ci]
+    return lib
+
 
 def _build_ec() -> bool:
     try:
@@ -429,6 +443,16 @@ def _init():
         vm_host = vm_native.bind(ctypes.CDLL(_VMHOST_SO))
     except (OSError, AttributeError, ImportError):
         vm_host = None
+
+    global poseidon_fr
+    if (not os.path.exists(_POSFR_SO)
+            or os.path.getmtime(_POSFR_SO) < os.path.getmtime(_POSFR_SRC)):
+        if not _build_so(_POSFR_SRC, _POSFR_SO):
+            return
+    try:
+        poseidon_fr = _bind_posfr(ctypes.CDLL(_POSFR_SO))
+    except (OSError, AttributeError):
+        poseidon_fr = None
 
     global ec_bn254, ec_bls12381
     if (not os.path.exists(_EC_SO)
