@@ -112,13 +112,27 @@ def _eval_qap(constraints, n_vars, n_pub_total, tau, r, m):
     w = _find_root(r, m)
     # Lagrange values L_j(tau) = Z(tau) * w^j / (m * (tau - w^j))
     z_tau = (pow(tau, m, r) - 1) % r
-    lj = []
-    wj = 1
     m_inv = pow(m, r - 2, r)
+    wjs = [0] * m
+    wj = 1
     for j in range(m):
-        denom = pow((tau - wj) % r, r - 2, r)
-        lj.append(z_tau * wj % r * m_inv % r * denom % r)
+        wjs[j] = wj
         wj = wj * w % r
+    # batch-invert all (tau - w^j) with one Fermat pow (Montgomery trick)
+    dens = [(tau - x) % r for x in wjs]
+    pref = [0] * m
+    acc = 1
+    for j in range(m):
+        acc = acc * dens[j] % r
+        pref[j] = acc
+    inv_acc = pow(acc, r - 2, r)
+    invs = [0] * m
+    for j in range(m - 1, 0, -1):
+        invs[j] = inv_acc * pref[j - 1] % r
+        inv_acc = inv_acc * dens[j] % r
+    invs[0] = inv_acc
+    zm = z_tau * m_inv % r
+    lj = [zm * wjs[j] % r * invs[j] % r for j in range(m)]
     a_t = [0] * n_vars
     b_t = [0] * n_vars
     c_t = [0] * n_vars

@@ -171,6 +171,12 @@ struct F2 {
         return {FQ::sub(t0, t1), FQ::sub(FQ::sub(s, t0), t1)};
     }
     static inline T sq(const T &a) { return mul(a, a); }
+    static inline T one_mont() {
+        T o;
+        o.c0 = FQ::one_mont();
+        memset(o.c1.v, 0, sizeof(o.c1.v));
+        return o;
+    }
     static inline T inv(const T &a) {
         B t = FQ::inv(FQ::add(FQ::sq(a.c0), FQ::sq(a.c1)));
         B zero;
@@ -232,6 +238,79 @@ static inline Point<FF> pt_add(const Point<FF> &p, const Point<FF> &q) {
     r.Z = FF::mul(FF::sub(FF::sub(FF::sq(FF::add(p.Z, q.Z)), Z1Z1), Z2Z2), H);
     r.inf = false;
     return r;
+}
+
+// Mixed addition: q affine (Z = 1), madd-2007-bl — 7M + 4S vs the 11M + 5S
+// general add.  The fixed-base tables and MSM inputs are affine, so this
+// carries most of the point-add volume.
+template <typename FF>
+struct AffPt {
+    typename FF::T X, Y;
+    bool inf;
+};
+
+template <typename FF>
+static inline Point<FF> pt_madd(const Point<FF> &p, const AffPt<FF> &q) {
+    if (q.inf) return p;
+    if (p.inf) {
+        Point<FF> r;
+        r.X = q.X;
+        r.Y = q.Y;
+        r.Z = FF::one_mont();
+        r.inf = false;
+        return r;
+    }
+    auto Z1Z1 = FF::sq(p.Z);
+    auto U2 = FF::mul(q.X, Z1Z1);
+    auto S2 = FF::mul(FF::mul(q.Y, p.Z), Z1Z1);
+    auto H = FF::sub(U2, p.X);
+    auto Rv = FF::sub(S2, p.Y);
+    if (FF::is_zero(H)) {
+        if (FF::is_zero(Rv)) return pt_double<FF>(p);
+        Point<FF> r;
+        r.inf = true;
+        return r;
+    }
+    auto HH = FF::sq(H);
+    auto I = FF::dbl(FF::dbl(HH));
+    auto J = FF::mul(H, I);
+    auto r2 = FF::dbl(Rv);
+    auto V = FF::mul(p.X, I);
+    Point<FF> r;
+    r.X = FF::sub(FF::sub(FF::sq(r2), J), FF::dbl(V));
+    r.Y = FF::sub(FF::mul(r2, FF::sub(V, r.X)), FF::dbl(FF::mul(p.Y, J)));
+    r.Z = FF::sub(FF::sub(FF::sq(FF::add(p.Z, H)), Z1Z1), HH);
+    r.inf = false;
+    return r;
+}
+
+// Batch-normalize Jacobian points to affine (one inversion, Montgomery
+// trick); infinity entries stay flagged.
+template <typename FF>
+static void pt_batch_to_affine(const std::vector<Point<FF>> &pts,
+                               std::vector<AffPt<FF>> &out) {
+    size_t n = pts.size();
+    out.resize(n);
+    std::vector<typename FF::T> pref(n);
+    auto acc = FF::one_mont();
+    for (size_t i = 0; i < n; i++) {
+        if (!pts[i].inf && !FF::is_zero(pts[i].Z)) acc = FF::mul(acc, pts[i].Z);
+        pref[i] = acc;
+    }
+    auto inv = FF::inv(acc);
+    for (size_t i = n; i-- > 0;) {
+        if (pts[i].inf || FF::is_zero(pts[i].Z)) {
+            out[i].inf = true;
+            continue;
+        }
+        auto prev = i == 0 ? FF::one_mont() : pref[i - 1];
+        auto zinv = FF::mul(inv, prev);
+        inv = FF::mul(inv, pts[i].Z);
+        auto zi2 = FF::sq(zinv);
+        out[i].X = FF::mul(pts[i].X, zi2);
+        out[i].Y = FF::mul(pts[i].Y, FF::mul(zi2, zinv));
+        out[i].inf = false;
+    }
 }
 
 // ---- field parameter tables ----
@@ -350,9 +429,18 @@ static inline void g2_store(const Point<F2Q> &p, u64 *xy) {
     memcpy(xy + 3 * NL, ys1.v, NL * 8);
 }
 
-template <typename PT>
-static void msm_impl(const std::vector<PT> &pts, const u64 *scalars,
-                     size_t n, int sbits, PT &out) {
+template <typename FF>
+static void msm_impl(const std::vector<Point<FF>> &pts, const u64 *scalars,
+                     size_t n, int sbits, Point<FF> &out) {
+    typedef Point<FF> PT;
+    // inputs are affine (Z = 1 from the loaders): bucket adds use the
+    // cheaper mixed addition
+    std::vector<AffPt<FF>> apts(n);
+    for (size_t i = 0; i < n; ++i) {
+        apts[i].inf = pts[i].inf;
+        apts[i].X = pts[i].X;
+        apts[i].Y = pts[i].Y;
+    }
     int window = 4;
     {
         size_t t = n;
@@ -377,7 +465,7 @@ static void msm_impl(const std::vector<PT> &pts, const u64 *scalars,
             if (off + window > 64 && limb + 1 < 4)
                 idx |= s[limb + 1] << (64 - off);
             idx &= (((u64)1 << window) - 1);
-            if (idx) buckets[idx] = pt_add(buckets[idx], pts[i]);
+            if (idx) buckets[idx] = pt_madd(buckets[idx], apts[i]);
         }
         PT running, acc;
         running.inf = true;
@@ -398,11 +486,12 @@ static void msm_impl(const std::vector<PT> &pts, const u64 *scalars,
     out = result;
 }
 
-template <typename PT>
-static void fixed_batch_impl(const PT &base, const u64 *scalars, u64 n,
-                             int sbits,
-                             void (*store)(const PT &, u64 *), u64 *out,
-                             int out_stride) {
+template <typename FF>
+static void fixed_batch_impl(const Point<FF> &base, const u64 *scalars,
+                             u64 n, int sbits,
+                             void (*store)(const Point<FF> &, u64 *),
+                             u64 *out, int out_stride) {
+    typedef Point<FF> PT;
     const int W = 8;
     const int NW = (sbits + W - 1) / W;
     std::vector<PT> table((size_t)NW << W);
@@ -413,6 +502,10 @@ static void fixed_batch_impl(const PT &base, const u64 *scalars, u64 n,
         for (int i = 1; i < (1 << W); ++i) row[i] = pt_add(row[i - 1], cur);
         cur = pt_add(row[(1 << W) - 1], cur);
     }
+    // one batch inversion turns the whole table affine so every scalar
+    // costs NW mixed additions instead of full Jacobian adds
+    std::vector<AffPt<FF>> atable;
+    pt_batch_to_affine<FF>(table, atable);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
@@ -426,7 +519,7 @@ static void fixed_batch_impl(const PT &base, const u64 *scalars, u64 n,
             if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
                 idx |= s[shift / 64 + 1] << (64 - shift % 64);
             idx &= ((1 << W) - 1);
-            if (idx) acc = pt_add(acc, table[((size_t)w << W) + idx]);
+            if (idx) acc = pt_madd(acc, atable[((size_t)w << W) + idx]);
         }
         store(acc, out + out_stride * i);
     }
