@@ -35,6 +35,11 @@ def _hash_rows(rows: np.ndarray) -> np.ndarray:
     return st
 
 
+def native_poseidon():
+    """The C++ Poseidon kernel wrapper, or None (merkle fast paths)."""
+    return poseidon_gl._get_native()
+
+
 def hash_leaves(rows: np.ndarray, batch_size: int = 0) -> np.ndarray:
     """Leaf hash of rows [B, width] -> [B, 4] (reference `LinearHash::hash`)."""
     B, w = rows.shape

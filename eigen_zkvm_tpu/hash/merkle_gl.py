@@ -31,6 +31,12 @@ class MerkleTreeGL:
         self.elements = elements
         self.width = width
         self.height = height
+        nat = linearhash_gl.native_poseidon()
+        if nat is not None and width > 0:
+            # whole tree in one native call (leaves + every level)
+            self.levels = nat.merkle_tree(
+                np.ascontiguousarray(elements, dtype=np.uint64))
+            return self
         leaves = linearhash_gl.hash_leaves(elements)
         self.levels = [leaves]
         cur = leaves

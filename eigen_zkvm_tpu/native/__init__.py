@@ -46,6 +46,8 @@ def _load():
     lib.poseidon_gl_hash_leaves.argtypes = [u64p, ctypes.c_size_t,
                                             ctypes.c_size_t, u64p]
     lib.poseidon_gl_merkle_level.argtypes = [u64p, ctypes.c_size_t, u64p]
+    lib.poseidon_gl_merkle_tree.argtypes = [u64p, ctypes.c_size_t,
+                                            ctypes.c_size_t, u64p]
     return lib
 
 
@@ -97,6 +99,26 @@ class _PoseidonGL:
         out = np.empty((n_pairs, 4), dtype=np.uint64)
         self._lib.poseidon_gl_merkle_level(_ptr(nodes), n_pairs, _ptr(out))
         return out
+
+    def merkle_tree(self, rows: np.ndarray) -> list[np.ndarray]:
+        """Whole tree in one call: leaf rows [h, w] -> list of levels
+        ([h,4], [ceil(h/2),4], ..., [1,4])."""
+        rows = np.ascontiguousarray(rows, dtype=np.uint64)
+        h = rows.shape[0]
+        sizes = [h]
+        n = h
+        while n > 1:
+            n = (n - 1) // 2 + 1
+            sizes.append(n)
+        buf = np.empty((sum(sizes), 4), dtype=np.uint64)
+        self._lib.poseidon_gl_merkle_tree(_ptr(rows), h, rows.shape[1],
+                                          _ptr(buf))
+        levels = []
+        pos = 0
+        for s in sizes:
+            levels.append(buf[pos : pos + s])
+            pos += s
+        return levels
 
 
 poseidon: _PoseidonGL | None = None

@@ -551,6 +551,35 @@ void poseidon_gl_hash_leaves(const u64* rows, size_t B, size_t w, u64* out) {
     delete[] chunks;
 }
 
+void poseidon_gl_merkle_level(const u64* nodes, size_t n_pairs, u64* out);
+
+// Whole binary Merkle tree in one call: leaf rows [h, w] -> `out` packed
+// as [leaf digests h x4][level1 n1 x4][...][root 1 x4], each level
+// ceil(n/2) nodes with odd levels padded by a zero-digest sibling
+// (hash/merkle_gl.py layout).  `out` must hold the full packed size.
+void poseidon_gl_merkle_tree(const u64* rows, size_t h, size_t w, u64* out) {
+    poseidon_gl_hash_leaves(rows, h, w, out);
+    u64* cur = out;
+    size_t n = h;
+    u64 zero4[8] = {0, 0, 0, 0, 0, 0, 0, 0};
+    while (n > 1) {
+        size_t next_n = (n - 1) / 2 + 1;
+        u64* nxt = cur + n * 4;
+        size_t pairs = n / 2;
+        poseidon_gl_merkle_level(cur, pairs, nxt);
+        if (n % 2) {  // odd: last node hashes against the zero digest
+            u64 st[8];
+            std::memcpy(st, cur + (n - 1) * 4, 4 * sizeof(u64));
+            std::memcpy(st + 4, zero4, 4 * sizeof(u64));
+            u64 one_out[4];
+            poseidon_gl_merkle_level(st, 1, one_out);
+            std::memcpy(nxt + pairs * 4, one_out, 4 * sizeof(u64));
+        }
+        cur = nxt;
+        n = next_n;
+    }
+}
+
 // One binary tree level: nodes [n, 4] (n even) -> out [n/2, 4]
 void poseidon_gl_merkle_level(const u64* nodes, size_t n_pairs, u64* out) {
     size_t start = 0;
