@@ -230,6 +230,12 @@ def _fixed_base_all(curve, base, scalars, g1: bool):
     return [to_aff(fb.mul(s)) for s in scalars]
 
 
+# pre-marshalled point-limb arrays per (query list, group): proving keys
+# are reused across proofs, so pay the bigint -> limbs conversion once.
+# The stored list reference both guards id() reuse and keeps it alive.
+_msm_prep_cache: dict = {}
+
+
 def _msm(curve, points, scalars, g1: bool):
     # opt-in accelerator path (BN254 G1 only): batched double-and-add on
     # the TPU via ops/ec_jax.py — set EIGEN_ZKVM_TPU_MSM=1
@@ -239,7 +245,13 @@ def _msm(curve, points, scalars, g1: bool):
         return ec_jax.msm(points, [int(s) % curve.R for s in scalars])
     nat = _native_ec(curve)
     if nat is not None:
-        return (nat.g1_msm if g1 else nat.g2_msm)(points, scalars)
+        key = (id(points), g1)
+        ent = _msm_prep_cache.get(key)
+        if ent is None or ent[0] is not points:
+            pts = (nat.prep_g1 if g1 else nat.prep_g2)(points)
+            _msm_prep_cache[key] = ent = (points, pts)
+        return (nat.g1_msm if g1 else nat.g2_msm)(points, scalars,
+                                                  pts=ent[1])
     from ..curves.msm import msm_g1, msm_g2
     return (msm_g1 if g1 else msm_g2)(curve, points, scalars)
 

@@ -331,19 +331,29 @@ class _EcCurve:
             return None
         return coords
 
-    def g1_msm(self, points, scalars):
+    def prep_g1(self, points) -> np.ndarray:
+        """Pre-marshalled limb array for repeated g1_msm over the same
+        points (proving keys)."""
+        return self._limbs([(p[0], p[1]) if p else (0, 0) for p in points], 2)
+
+    def prep_g2(self, points) -> np.ndarray:
+        return self._limbs(
+            [(p[0][0], p[0][1], p[1][0], p[1][1]) if p else (0, 0, 0, 0)
+             for p in points], 4)
+
+    def g1_msm(self, points, scalars, pts: np.ndarray | None = None):
         """points: affine (x, y) pairs or None; returns affine or None."""
-        pts = self._limbs([(p[0], p[1]) if p else (0, 0) for p in points], 2)
+        if pts is None:
+            pts = self.prep_g1(points)
         sc = self._scalars(scalars)
         out = np.zeros(2 * self._n, dtype=np.uint64)
         self._g1_msm(_ptr(pts), _ptr(sc), len(points), _ptr(out))
         r = self._unlimb(out, 2)
         return tuple(r) if r else None
 
-    def g2_msm(self, points, scalars):
-        pts = self._limbs(
-            [(p[0][0], p[0][1], p[1][0], p[1][1]) if p else (0, 0, 0, 0)
-             for p in points], 4)
+    def g2_msm(self, points, scalars, pts: np.ndarray | None = None):
+        if pts is None:
+            pts = self.prep_g2(points)
         sc = self._scalars(scalars)
         out = np.zeros(4 * self._n, dtype=np.uint64)
         self._g2_msm(_ptr(pts), _ptr(sc), len(points), _ptr(out))
