@@ -20,6 +20,7 @@ from ..fields import gl64 as gl
 from ..poly import ntt
 from .backends import get_backend
 from .fri import FRI, FRIProof
+from ..utils.profiler import Prof
 from .vm import ProverContext, execute_segment
 
 
@@ -158,6 +159,7 @@ def _merkelize(ctx: ProverContext, section: str, merkle_cls):
 def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
               program, stark_struct, prover_addr: str = "") -> StarkProof:
     merkle_cls, transcript_cls = get_backend(stark_struct.verificationHashType)
+    prof = Prof("stark_gen")
     ctx = ProverContext(starkinfo, stark_struct)
     N, Next = ctx.N, ctx.Next
     extend_bits = ctx.nbits_ext - ctx.nbits
@@ -218,6 +220,7 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
         set_pol(ctx, starkinfo.cm_n[n_cm], h2)
         n_cm += 1
 
+    prof.tick("stage1 trace commit")
     # ---- stage 2
     tree2 = _extend_and_merkelize(ctx, "cm2_n", merkle_cls)
     transcript.put_root(tree2.root())
@@ -234,6 +237,7 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
 
     _exec_segment(ctx, program.step3, "n")
 
+    prof.tick("stage2 h1/h2 commit")
     # ---- stage 3
     tree3 = _extend_and_merkelize(ctx, "cm3_n", merkle_cls)
     transcript.put_root(tree3.root())
@@ -265,6 +269,7 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
             cur_s = gl.mul(cur_s, shift_inv_n)
         ctx.sections["cm4_2ns"][:, :] = ntt.ntt(qq2)
 
+    prof.tick("stage3 z commit")
     # ---- stage 4
     tree4 = _merkelize(ctx, "cm4_2ns", merkle_cls)
     transcript.put_root(tree4.root())
@@ -331,6 +336,7 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
         ctx.x_div_x_sub_wxi = f3g.mul_base(f3g.inv(denw), x_buff)
 
     _exec_segment(ctx, program.step52ns, "2ns")
+    prof.tick("stage4 quotient + openings")
     fri_pol = ctx.sections["f_2ns"].copy()
 
     def query_pol(idx: int):
@@ -347,6 +353,8 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
 
     proof = StarkProof()
     proof.rootC = const_tree.root()
+    prof.tick("fri")
+    prof.done()
     proof.root1 = tree1.root()
     proof.root2 = tree2.root()
     proof.root3 = tree3.root()

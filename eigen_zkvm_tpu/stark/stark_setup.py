@@ -41,3 +41,23 @@ class StarkSetup:
         si = StarkInfo(copy.deepcopy(pil), stark_struct, global_l1)
         self.starkinfo = si
         self.program: Program = si.program
+
+    # ---- checkpoint / resume (reference stark_setup.rs serde: the setup,
+    # with const_root as the verification key, is a reusable artifact) ----
+
+    def save(self, path: str):
+        """Persist the full preprocessing output (const tree + compiled
+        starkinfo/program) so repeated proving runs skip setup."""
+        import pickle
+
+        with open(path, "wb") as f:
+            pickle.dump(self, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+    @staticmethod
+    def load(path: str) -> "StarkSetup":
+        import pickle
+
+        with open(path, "rb") as f:
+            obj = pickle.load(f)
+        assert isinstance(obj, StarkSetup)
+        return obj
