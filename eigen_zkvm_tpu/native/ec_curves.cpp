@@ -13,6 +13,8 @@
 #include <omp.h>
 #endif
 
+#include "mont52_avx512.h"
+
 typedef __uint128_t u128;
 typedef uint64_t u64;
 
@@ -133,6 +135,9 @@ struct F {
         memcpy(o.v, FP->ONE, NL * 8);
         return o;
     }
+    static inline bool is_one_mont(const T &a) {
+        return memcmp(a.v, FP->ONE, NL * 8) == 0;
+    }
     static inline T inv(const T &a) {
         T result = one_mont();
         T base = a;
@@ -176,6 +181,9 @@ struct F2 {
         o.c0 = FQ::one_mont();
         memset(o.c1.v, 0, sizeof(o.c1.v));
         return o;
+    }
+    static inline bool is_one_mont(const T &a) {
+        return FQ::is_one_mont(a.c0) && FQ::is_zero(a.c1);
     }
     static inline T inv(const T &a) {
         B t = FQ::inv(FQ::add(FQ::sq(a.c0), FQ::sq(a.c1)));
@@ -359,6 +367,112 @@ static const FieldParams<4> BLS_FR = {
      0x73eda753299d7d48ULL},
     0xfffffffeffffffffULL};
 
+// ---- AVX-512 IFMA vector G1 (4-limb base fields only) ---------------------
+// 8 independent curve points per vector over the shared 5x52 Montgomery
+// core (mont52_avx512.h).  Used by the BN254 G1 fixed-base batch: all 8
+// lanes walk the same window schedule, each gathering its own affine
+// table entry.  Rare per-lane exceptions (doubling, p = -q) are detected
+// by mask and those lanes fall back to scalar arithmetic.
+#ifdef HAVE_MONT52
+
+static bool have_ifma_ec() {
+    static const bool ok = __builtin_cpu_supports("avx512ifma")
+        && __builtin_cpu_supports("avx512dq");
+    return ok;
+}
+
+struct VPt {
+    m52::Fv X, Y, Z;
+    __mmask8 inf;  // set bit = lane is infinity
+};
+
+// vector mixed add: q affine (lanes with q_inf skip); returns mask of
+// lanes needing the scalar slow path (doubling / cancellation)
+static inline __mmask8 v_madd(const m52::M52Params& P, VPt& p,
+                              const m52::Fv& qx, const m52::Fv& qy,
+                              __mmask8 q_inf, const m52::Fv& mont_one) {
+    using namespace m52;
+    Fv Z1Z1 = f_sq(P, p.Z);
+    Fv U2 = f_mul(P, qx, Z1Z1);
+    Fv S2 = f_mul(P, f_mul(P, qy, p.Z), Z1Z1);
+    Fv H = f_sub(P, U2, p.X);
+    Fv Rv = f_sub(P, S2, p.Y);
+    __mmask8 h0 = f_is_zero_mod(P, H);
+    __mmask8 active = (__mmask8)(~p.inf & ~q_inf);
+    __mmask8 slow = (__mmask8)(h0 & active);  // double or annihilate
+    Fv HH = f_sq(P, H);
+    Fv I = f_dbl(P, f_dbl(P, HH));
+    Fv J = f_mul(P, H, I);
+    Fv r2 = f_dbl(P, Rv);
+    Fv V = f_mul(P, p.X, I);
+    Fv X3 = f_sub(P, f_sub(P, f_sq(P, r2), J), f_dbl(P, V));
+    Fv Y3 = f_sub(P, f_mul(P, r2, f_sub(P, V, X3)),
+                  f_dbl(P, f_mul(P, p.Y, J)));
+    Fv Z3 = f_sub(P, f_sub(P, f_sq(P, f_add(P, p.Z, H)), Z1Z1), HH);
+    // p.inf lanes: result = q (affine promoted, Z = R mod p i.e. mont(1))
+    // q_inf lanes: result = p (unchanged)
+    __mmask8 take_q = (__mmask8)(p.inf & ~q_inf);
+    __mmask8 keep_p = q_inf;
+    __mmask8 upd = (__mmask8)(active & ~slow);
+    p.X = f_select(upd, p.X, X3);
+    p.Y = f_select(upd, p.Y, Y3);
+    p.Z = f_select(upd, p.Z, Z3);
+    p.X = f_select(take_q, p.X, qx);
+    p.Y = f_select(take_q, p.Y, qy);
+    p.Z = f_select(take_q, p.Z, mont_one);
+    p.inf = (__mmask8)(p.inf & q_inf);  // was-inf lanes that took q are live
+    (void)keep_p;  // q_inf lanes already untouched by upd/take_q masks
+    return slow;
+}
+
+#endif  // HAVE_MONT52
+
+// Vector fixed-base batch over a 4-limb base field: 8 scalars per group,
+// per-lane gathered affine table entries (mont52 domain), optimistic
+// execution with whole-group scalar redo on the (vanishing-probability)
+// doubling/cancellation mask.  Emits Jacobian coordinates in VALUE space;
+// the caller batch-normalizes.
+#ifdef HAVE_MONT52
+
+// value -> value * 2^260 mod p (scalar helper for table conversion)
+template <int NL, const FieldParams<NL>* FP>
+static void to_mont52_value(const u64 in[4], u64 out[5]) {
+    u64 v[4];
+    memcpy(v, in, sizeof(v));
+    for (int d = 0; d < 260; d++) {
+        u64 carry = 0;
+        for (int k = 0; k < 4; k++) {
+            u64 nv = (v[k] << 1) | carry;
+            carry = v[k] >> 63;
+            v[k] = nv;
+        }
+        bool ge = carry != 0;
+        if (!ge) {
+            ge = true;
+            for (int i = 3; i >= 0; i--) {
+                if (v[i] > FP->P[i]) break;
+                if (v[i] < FP->P[i]) { ge = false; break; }
+            }
+        }
+        if (ge) {
+            u128 borrow = 0;
+            for (int i = 0; i < 4; i++) {
+                u128 dd = (u128)v[i] - FP->P[i] - (u64)borrow;
+                v[i] = (u64)dd;
+                borrow = (dd >> 64) ? 1 : 0;
+            }
+        }
+    }
+    const u64 M = m52::MASK52;
+    out[0] = v[0] & M;
+    out[1] = ((v[0] >> 52) | (v[1] << 12)) & M;
+    out[2] = ((v[1] >> 40) | (v[2] << 24)) & M;
+    out[3] = ((v[2] >> 28) | (v[3] << 36)) & M;
+    out[4] = v[3] >> 16;
+}
+
+#endif  // HAVE_MONT52
+
 // ---- generic point IO + MSM / fixed-base ----
 
 template <int NL, typename FQ>
@@ -381,6 +495,13 @@ template <int NL, typename FQ>
 static inline void g1_store(const Point<FQ> &p, u64 *xy) {
     if (p.inf || FQ::is_zero(p.Z)) {
         memset(xy, 0, 2 * NL * 8);
+        return;
+    }
+    if (FQ::is_one_mont(p.Z)) {  // already affine: skip the inversion
+        auto x = FQ::from_mont(p.X);
+        auto y = FQ::from_mont(p.Y);
+        memcpy(xy, x.v, NL * 8);
+        memcpy(xy + NL, y.v, NL * 8);
         return;
     }
     auto zi = FQ::inv(p.Z);
@@ -413,6 +534,15 @@ static inline Point<F2Q> g2_load(const u64 *xy) {
 
 template <int NL, typename FQ, typename F2Q>
 static inline void g2_store(const Point<F2Q> &p, u64 *xy) {
+    if (!p.inf && !F2Q::is_zero(p.Z) && F2Q::is_one_mont(p.Z)) {
+        auto xs0 = FQ::from_mont(p.X.c0), xs1 = FQ::from_mont(p.X.c1);
+        auto ys0 = FQ::from_mont(p.Y.c0), ys1 = FQ::from_mont(p.Y.c1);
+        memcpy(xy, xs0.v, NL * 8);
+        memcpy(xy + NL, xs1.v, NL * 8);
+        memcpy(xy + 2 * NL, ys0.v, NL * 8);
+        memcpy(xy + 3 * NL, ys1.v, NL * 8);
+        return;
+    }
     if (p.inf || F2Q::is_zero(p.Z)) {
         memset(xy, 0, 4 * NL * 8);
         return;
@@ -506,6 +636,7 @@ static void fixed_batch_impl(const Point<FF> &base, const u64 *scalars,
     // costs NW mixed additions instead of full Jacobian adds
     std::vector<AffPt<FF>> atable;
     pt_batch_to_affine<FF>(table, atable);
+    std::vector<PT> accs(n);
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
 #endif
@@ -521,9 +652,202 @@ static void fixed_batch_impl(const Point<FF> &base, const u64 *scalars,
             idx &= ((1 << W) - 1);
             if (idx) acc = pt_madd(acc, atable[((size_t)w << W) + idx]);
         }
-        store(acc, out + out_stride * i);
+        accs[i] = acc;
+    }
+    // ONE batched inversion normalizes every result; store sees Z = 1
+    std::vector<AffPt<FF>> aff;
+    pt_batch_to_affine<FF>(accs, aff);
+    for (size_t i = 0; i < n; ++i) {
+        PT p;
+        if (aff[i].inf) {
+            p.inf = true;
+        } else {
+            p.inf = false;
+            p.X = aff[i].X;
+            p.Y = aff[i].Y;
+            p.Z = FF::one_mont();
+        }
+        store(p, out + out_stride * i);
     }
 }
+
+#ifdef HAVE_MONT52
+
+// 8-lane IFMA fixed-base batch for a 4-limb curve (G1).  `store` converts
+// a scalar Jacobian point to the output wire format.
+template <int NL, const FieldParams<NL>* FP, typename FQ>
+static void fixed_batch_ifma(const Point<FQ>& base, const u64* scalars,
+                             u64 n, int sbits,
+                             void (*store)(const Point<FQ>&, u64*), u64* out,
+                             int out_stride) {
+    using namespace m52;
+    static_assert(NL == 4, "IFMA path is 4-limb only");
+    const int W = 8;
+    const int NW = (sbits + W - 1) / W;
+
+    // scalar Jacobian table (as in fixed_batch_impl), then affine
+    std::vector<Point<FQ>> table((size_t)NW << W);
+    Point<FQ> cur = base;
+    for (int w = 0; w < NW; ++w) {
+        Point<FQ>* row = &table[(size_t)w << W];
+        row[0].inf = true;
+        for (int i = 1; i < (1 << W); ++i) row[i] = pt_add(row[i - 1], cur);
+        cur = pt_add(row[(1 << W) - 1], cur);
+    }
+    std::vector<AffPt<FQ>> atable;
+    pt_batch_to_affine<FQ>(table, atable);
+
+    M52Params P;
+    m52_init(P, FP->P);
+    Fv mont_one;
+    {
+        u64 one_v[4] = {1, 0, 0, 0};
+        u64 o52[5];
+        to_mont52_value<NL, FP>(one_v, o52);
+        for (int i = 0; i < 5; i++)
+            mont_one.l[i] = _mm512_set1_epi64((long long)o52[i]);
+    }
+
+    // mont52 copy of the affine table: [entry][X5 | Y5], infinities zeroed
+    size_t n_ent = atable.size();
+    std::vector<u64> t52(n_ent * 10, 0);
+    for (size_t e = 0; e < n_ent; e++) {
+        if (atable[e].inf) continue;
+        auto xv = FQ::from_mont(atable[e].X);
+        auto yv = FQ::from_mont(atable[e].Y);
+        to_mont52_value<NL, FP>(xv.v, &t52[e * 10]);
+        to_mont52_value<NL, FP>(yv.v, &t52[e * 10 + 5]);
+    }
+
+    // group results: Jacobian value-space coords [n][12] (X4 Y4 Z4)
+    std::vector<u64> jac((size_t)n * 12, 0);
+    std::vector<unsigned char> jinf(n, 0);
+
+    u64 one_raw[5] = {1, 0, 0, 0, 0};
+
+    size_t g0 = 0;
+    for (; g0 + 8 <= n; g0 += 8) {
+        VPt acc;
+        acc.X = f_zero();
+        acc.Y = f_zero();
+        acc.Z = f_zero();
+        acc.inf = 0xFF;
+        __mmask8 slow_any = 0;
+        for (int w = 0; w < NW; ++w) {
+            int shift = w * W;
+            alignas(64) long long idx[8];
+            for (int l = 0; l < 8; l++) {
+                const u64* s = scalars + 4 * (g0 + l);
+                u64 v = s[shift / 64] >> (shift % 64);
+                if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
+                    v |= s[shift / 64 + 1] << (64 - shift % 64);
+                idx[l] = (long long)((v & ((1 << W) - 1))
+                                     + ((size_t)w << W));
+            }
+            __m512i iv = _mm512_load_si512(idx);
+            __mmask8 q_inf = 0;
+            for (int l = 0; l < 8; l++)
+                if ((idx[l] & 0xFF) == 0 || atable[idx[l]].inf)
+                    q_inf |= (__mmask8)(1 << l);
+            __m512i base10 = _mm512_mullo_epi64(iv, _mm512_set1_epi64(10));
+            Fv qx, qy;
+            for (int i = 0; i < 5; i++) {
+                qx.l[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(base10, _mm512_set1_epi64(i)),
+                    (const long long*)t52.data(), 8);
+                qy.l[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(base10, _mm512_set1_epi64(5 + i)),
+                    (const long long*)t52.data(), 8);
+            }
+            slow_any |= v_madd(P, acc, qx, qy, q_inf, mont_one);
+        }
+        if (slow_any) {
+            // rare: redo the whole group with the scalar kernel
+            for (int l = 0; l < 8; l++) {
+                const u64* s = scalars + 4 * (g0 + l);
+                Point<FQ> a;
+                a.inf = true;
+                for (int w = 0; w < NW; ++w) {
+                    int shift = w * W;
+                    u64 v = s[shift / 64] >> (shift % 64);
+                    if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
+                        v |= s[shift / 64 + 1] << (64 - shift % 64);
+                    v &= ((1 << W) - 1);
+                    if (v) a = pt_madd(a, atable[((size_t)w << W) + v]);
+                }
+                store(a, out + out_stride * (g0 + l));
+            }
+            jinf[g0] = 2;  // marker: already stored
+            for (int l = 0; l < 8; l++) jinf[g0 + l] = 2;
+            continue;
+        }
+        // convert mont52 -> value space and stash Jacobian coords
+        Fv xv = f_mul_const(P, acc.X, one_raw);
+        Fv yv = f_mul_const(P, acc.Y, one_raw);
+        Fv zv = f_mul_const(P, acc.Z, one_raw);
+        store_4x64(P, xv, &jac[g0 * 12], 12);
+        store_4x64(P, yv, &jac[g0 * 12 + 4], 12);
+        store_4x64(P, zv, &jac[g0 * 12 + 8], 12);
+        for (int l = 0; l < 8; l++)
+            jinf[g0 + l] = (acc.inf >> l) & 1;
+    }
+    // tail: scalar path
+    for (size_t i = g0; i < n; i++) {
+        const u64* s = scalars + 4 * i;
+        Point<FQ> a;
+        a.inf = true;
+        for (int w = 0; w < NW; ++w) {
+            int shift = w * W;
+            u64 v = s[shift / 64] >> (shift % 64);
+            if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
+                v |= s[shift / 64 + 1] << (64 - shift % 64);
+            v &= ((1 << W) - 1);
+            if (v) a = pt_madd(a, atable[((size_t)w << W) + v]);
+        }
+        store(a, out + out_stride * i);
+        jinf[i] = 2;
+    }
+    // finalize the vector groups: rebuild scalar-Montgomery Jacobians and
+    // write affine outputs with ONE batched inversion for all Z coords
+    std::vector<size_t> live;
+    std::vector<Point<FQ>> lp;
+    live.reserve(n);
+    for (size_t i = 0; i < n; i++) {
+        if (jinf[i] == 2) continue;
+        if (jinf[i] == 1) {
+            Point<FQ> p;
+            p.inf = true;
+            store(p, out + out_stride * i);
+            continue;
+        }
+        typename FQ::T x, y, z;
+        memcpy(x.v, &jac[i * 12], 32);
+        memcpy(y.v, &jac[i * 12 + 4], 32);
+        memcpy(z.v, &jac[i * 12 + 8], 32);
+        Point<FQ> p;
+        p.X = FQ::to_mont(x);
+        p.Y = FQ::to_mont(y);
+        p.Z = FQ::to_mont(z);
+        p.inf = false;
+        live.push_back(i);
+        lp.push_back(p);
+    }
+    std::vector<AffPt<FQ>> laff;
+    pt_batch_to_affine<FQ>(lp, laff);
+    for (size_t k = 0; k < live.size(); k++) {
+        u64* xy = out + out_stride * live[k];
+        if (laff[k].inf) {
+            memset(xy, 0, 2 * NL * 8);
+            continue;
+        }
+        auto xv = FQ::from_mont(laff[k].X);
+        auto yv = FQ::from_mont(laff[k].Y);
+        memcpy(xy, xv.v, NL * 8);
+        memcpy(xy + NL, yv.v, NL * 8);
+    }
+}
+
+#endif  // HAVE_MONT52
 
 // ---- curve instantiations ----
 
@@ -576,7 +900,31 @@ static inline Point<BNQ2> bn_l2(const u64 *p) { return g2_load<4, BNQ, BNQ2>(p);
 static inline Point<BLSQ> bls_l1(const u64 *p) { return g1_load<6, BLSQ>(p); }
 static inline Point<BLSQ2> bls_l2(const u64 *p) { return g2_load<6, BLSQ, BLSQ2>(p); }
 
-MSM_FN(bn254, 4, BNQ, BNQ2, bn_l1, bn_l2, bn_g1_store, bn_g2_store, 254)
+MSM_FN(bn254_generic, 4, BNQ, BNQ2, bn_l1, bn_l2, bn_g1_store, bn_g2_store, 254)
+
+// BN254 public entry points: G1 fixed-base takes the 8-lane IFMA kernel
+// when the host supports it; everything else forwards to the generic path.
+void bn254_g1_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
+    bn254_generic_g1_msm(points, scalars, n, out);
+}
+void bn254_g2_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
+    bn254_generic_g2_msm(points, scalars, n, out);
+}
+void bn254_g1_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
+                          u64 *out) {
+#ifdef HAVE_MONT52
+    if (have_ifma_ec() && n >= 64) {
+        fixed_batch_ifma<4, &BN_FQ, BNQ>(bn_l1(base), scalars, n, 254,
+                                         bn_g1_store, out, 8);
+        return;
+    }
+#endif
+    bn254_generic_g1_fixed_batch(base, scalars, n, out);
+}
+void bn254_g2_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
+                          u64 *out) {
+    bn254_generic_g2_fixed_batch(base, scalars, n, out);
+}
 MSM_FN(bls12381, 6, BLSQ, BLSQ2, bls_l1, bls_l2, bls_g1_store, bls_g2_store, 255)
 
 }  // extern "C"
