@@ -250,7 +250,13 @@ def _msm(curve, points, scalars, g1: bool):
         if ent is None or ent[0] is not points:
             pts = (nat.prep_g1 if g1 else nat.prep_g2)(points)
             _msm_prep_cache[key] = ent = (points, pts)
-        return (nat.g1_msm if g1 else nat.g2_msm)(points, scalars,
+        # single-slot scalar cache: consecutive A/B1/B2 MSMs reuse the
+        # same witness list (one slot only, so proofs don't accumulate)
+        sent = _msm_prep_cache.get("sc_last")
+        if sent is None or sent[0] is not scalars:
+            sent = (scalars, nat._scalars(scalars))
+            _msm_prep_cache["sc_last"] = sent
+        return (nat.g1_msm if g1 else nat.g2_msm)(points, sent[1],
                                                   pts=ent[1])
     from ..curves.msm import msm_g1, msm_g2
     return (msm_g1 if g1 else msm_g2)(curve, points, scalars)
@@ -310,27 +316,36 @@ def prove(curve, pk: ProvingKey, constraints, witness,
     r = curve.R
     rand = rng or (lambda: secrets.randbelow(r))
     rr, ss = rand(), rand()
+    from ..utils.profiler import Prof
+
+    prof = Prof("groth16.prove")
     witness = [int(x) % r for x in witness]
     n_pub_total = pk.n_public + 1
     h = _witness_h(curve, constraints, witness, n_pub_total, pk.domain_size)
+    prof.tick("witness_h")
 
     g1 = curve.g1_from_affine
     # A = alpha + sum w_i A_i + r*delta
     a_acc = _msm(curve, pk.a_query, witness, g1=True)
+    prof.tick("msm A")
     A = curve.g1_add(curve.g1_add(g1(a_acc), g1(pk.alpha1)),
                      curve.g1_mul(g1(pk.delta1), rr))
     # B (G2) and its G1 shadow
     b2_acc = _msm(curve, pk.b2_query, witness, g1=False)
+    prof.tick("msm B2 (G2)")
     B = curve.g2_add(curve.g2_add(curve.g2_from_affine(b2_acc),
                                   curve.g2_from_affine(pk.beta2)),
                      curve.g2_mul(curve.g2_from_affine(curve.G2_GEN), 0))
     B = curve.g2_add(B, curve.g2_mul(curve.g2_from_affine(pk.delta2), ss))
     b1_acc = _msm(curve, pk.b1_query, witness, g1=True)
+    prof.tick("msm B1")
     B1 = curve.g1_add(curve.g1_add(g1(b1_acc), g1(pk.beta1)),
                       curve.g1_mul(g1(pk.delta1), ss))
     # C = sum_priv w_i L_i + H(tau)Z/delta + s*A + r*B1 - r*s*delta
     l_acc = _msm(curve, pk.l_query, witness[n_pub_total:], g1=True)
+    prof.tick("msm L")
     h_acc = _msm(curve, pk.h_query, h, g1=True)
+    prof.tick("msm H")
     C = curve.g1_add(g1(l_acc), g1(h_acc))
     C = curve.g1_add(C, curve.g1_mul(A, ss))
     C = curve.g1_add(C, curve.g1_mul(B1, rr))

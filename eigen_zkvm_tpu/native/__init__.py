@@ -320,6 +320,9 @@ class _EcCurve:
 
     @staticmethod
     def _scalars(ss):
+        if isinstance(ss, np.ndarray) and ss.dtype == np.uint64 \
+                and ss.ndim == 2 and ss.shape[1] == 4:
+            return np.ascontiguousarray(ss)  # pre-marshalled
         blob = b"".join(int(s).to_bytes(32, "little") for s in ss)
         return np.frombuffer(blob, dtype="<u8").reshape(len(ss), 4).copy()
 
