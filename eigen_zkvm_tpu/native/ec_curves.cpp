@@ -471,6 +471,89 @@ static void to_mont52_value(const u64 in[4], u64 out[5]) {
     out[4] = v[3] >> 16;
 }
 
+// vector Fq2 (u^2 = -1) over the 5x52 core — 8 extension elements/vector
+struct F2v {
+    m52::Fv c0, c1;
+};
+
+static inline F2v f2_add(const m52::M52Params& P, const F2v& a,
+                         const F2v& b) {
+    return {m52::f_add(P, a.c0, b.c0), m52::f_add(P, a.c1, b.c1)};
+}
+
+static inline F2v f2_sub(const m52::M52Params& P, const F2v& a,
+                         const F2v& b) {
+    return {m52::f_sub(P, a.c0, b.c0), m52::f_sub(P, a.c1, b.c1)};
+}
+
+static inline F2v f2_dbl(const m52::M52Params& P, const F2v& a) {
+    return {m52::f_dbl(P, a.c0), m52::f_dbl(P, a.c1)};
+}
+
+static inline F2v f2_mul(const m52::M52Params& P, const F2v& a,
+                         const F2v& b) {
+    using namespace m52;
+    Fv t0 = f_mul(P, a.c0, b.c0);
+    Fv t1 = f_mul(P, a.c1, b.c1);
+    Fv s = f_mul(P, f_add(P, a.c0, a.c1), f_add(P, b.c0, b.c1));
+    return {f_sub(P, t0, t1), f_sub(P, f_sub(P, s, t0), t1)};
+}
+
+static inline F2v f2_sq(const m52::M52Params& P, const F2v& a) {
+    return f2_mul(P, a, a);
+}
+
+static inline __mmask8 f2_is_zero_mod(const m52::M52Params& P, const F2v& a) {
+    return (__mmask8)(m52::f_is_zero_mod(P, a.c0)
+                      & m52::f_is_zero_mod(P, a.c1));
+}
+
+static inline F2v f2_select(__mmask8 k, const F2v& if0, const F2v& if1) {
+    return {m52::f_select(k, if0.c0, if1.c0),
+            m52::f_select(k, if0.c1, if1.c1)};
+}
+
+static inline F2v f2_zero() {
+    return {m52::f_zero(), m52::f_zero()};
+}
+
+struct VPt2 {
+    F2v X, Y, Z;
+    __mmask8 inf;
+};
+
+static inline __mmask8 v2_madd(const m52::M52Params& P, VPt2& p,
+                               const F2v& qx, const F2v& qy, __mmask8 q_inf,
+                               const F2v& mont_one) {
+    F2v Z1Z1 = f2_sq(P, p.Z);
+    F2v U2 = f2_mul(P, qx, Z1Z1);
+    F2v S2 = f2_mul(P, f2_mul(P, qy, p.Z), Z1Z1);
+    F2v H = f2_sub(P, U2, p.X);
+    F2v Rv = f2_sub(P, S2, p.Y);
+    __mmask8 h0 = f2_is_zero_mod(P, H);
+    __mmask8 active = (__mmask8)(~p.inf & ~q_inf);
+    __mmask8 slow = (__mmask8)(h0 & active);
+    F2v HH = f2_sq(P, H);
+    F2v I = f2_dbl(P, f2_dbl(P, HH));
+    F2v J = f2_mul(P, H, I);
+    F2v r2 = f2_dbl(P, Rv);
+    F2v V = f2_mul(P, p.X, I);
+    F2v X3 = f2_sub(P, f2_sub(P, f2_sq(P, r2), J), f2_dbl(P, V));
+    F2v Y3 = f2_sub(P, f2_mul(P, r2, f2_sub(P, V, X3)),
+                    f2_dbl(P, f2_mul(P, p.Y, J)));
+    F2v Z3 = f2_sub(P, f2_sub(P, f2_sq(P, f2_add(P, p.Z, H)), Z1Z1), HH);
+    __mmask8 take_q = (__mmask8)(p.inf & ~q_inf);
+    __mmask8 upd = (__mmask8)(active & ~slow);
+    p.X = f2_select(upd, p.X, X3);
+    p.Y = f2_select(upd, p.Y, Y3);
+    p.Z = f2_select(upd, p.Z, Z3);
+    p.X = f2_select(take_q, p.X, qx);
+    p.Y = f2_select(take_q, p.Y, qy);
+    p.Z = f2_select(take_q, p.Z, mont_one);
+    p.inf = (__mmask8)(p.inf & q_inf);
+    return slow;
+}
+
 #endif  // HAVE_MONT52
 
 // ---- generic point IO + MSM / fixed-base ----
@@ -847,6 +930,186 @@ static void fixed_batch_ifma(const Point<FQ>& base, const u64* scalars,
     }
 }
 
+// 8-lane IFMA fixed-base batch for G2 over a 4-limb base field
+template <int NL, const FieldParams<NL>* FP, typename FQ, typename F2Q>
+static void fixed_batch_ifma_g2(const Point<F2Q>& base, const u64* scalars,
+                                u64 n, int sbits,
+                                void (*store)(const Point<F2Q>&, u64*),
+                                u64* out, int out_stride) {
+    using namespace m52;
+    static_assert(NL == 4, "IFMA path is 4-limb only");
+    const int W = 8;
+    const int NW = (sbits + W - 1) / W;
+
+    std::vector<Point<F2Q>> table((size_t)NW << W);
+    Point<F2Q> cur = base;
+    for (int w = 0; w < NW; ++w) {
+        Point<F2Q>* row = &table[(size_t)w << W];
+        row[0].inf = true;
+        for (int i = 1; i < (1 << W); ++i) row[i] = pt_add(row[i - 1], cur);
+        cur = pt_add(row[(1 << W) - 1], cur);
+    }
+    std::vector<AffPt<F2Q>> atable;
+    pt_batch_to_affine<F2Q>(table, atable);
+
+    M52Params P;
+    m52_init(P, FP->P);
+    F2v mont_one;
+    {
+        u64 one_v[4] = {1, 0, 0, 0};
+        u64 o52[5];
+        to_mont52_value<NL, FP>(one_v, o52);
+        for (int i = 0; i < 5; i++)
+            mont_one.c0.l[i] = _mm512_set1_epi64((long long)o52[i]);
+        mont_one.c1 = f_zero();
+    }
+
+    // mont52 table: [entry][x0 x1 y0 y1], 5 u64 each -> stride 20
+    size_t n_ent = atable.size();
+    std::vector<u64> t52(n_ent * 20, 0);
+    for (size_t e = 0; e < n_ent; e++) {
+        if (atable[e].inf) continue;
+        auto x0 = FQ::from_mont(atable[e].X.c0);
+        auto x1 = FQ::from_mont(atable[e].X.c1);
+        auto y0 = FQ::from_mont(atable[e].Y.c0);
+        auto y1 = FQ::from_mont(atable[e].Y.c1);
+        to_mont52_value<NL, FP>(x0.v, &t52[e * 20]);
+        to_mont52_value<NL, FP>(x1.v, &t52[e * 20 + 5]);
+        to_mont52_value<NL, FP>(y0.v, &t52[e * 20 + 10]);
+        to_mont52_value<NL, FP>(y1.v, &t52[e * 20 + 15]);
+    }
+
+    std::vector<u64> jac((size_t)n * 24, 0);  // X(2x4) Y(2x4) Z(2x4) values
+    std::vector<unsigned char> jinf(n, 0);
+    u64 one_raw[5] = {1, 0, 0, 0, 0};
+
+    auto scalar_one = [&](size_t i) {
+        const u64* s = scalars + 4 * i;
+        Point<F2Q> a;
+        a.inf = true;
+        for (int w = 0; w < NW; ++w) {
+            int shift = w * W;
+            u64 v = s[shift / 64] >> (shift % 64);
+            if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
+                v |= s[shift / 64 + 1] << (64 - shift % 64);
+            v &= ((1 << W) - 1);
+            if (v) a = pt_madd(a, atable[((size_t)w << W) + v]);
+        }
+        store(a, out + out_stride * i);
+    };
+
+    size_t g0 = 0;
+    for (; g0 + 8 <= n; g0 += 8) {
+        VPt2 acc;
+        acc.X = f2_zero();
+        acc.Y = f2_zero();
+        acc.Z = f2_zero();
+        acc.inf = 0xFF;
+        __mmask8 slow_any = 0;
+        for (int w = 0; w < NW; ++w) {
+            int shift = w * W;
+            alignas(64) long long idx[8];
+            for (int l = 0; l < 8; l++) {
+                const u64* s = scalars + 4 * (g0 + l);
+                u64 v = s[shift / 64] >> (shift % 64);
+                if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
+                    v |= s[shift / 64 + 1] << (64 - shift % 64);
+                idx[l] = (long long)((v & ((1 << W) - 1))
+                                     + ((size_t)w << W));
+            }
+            __m512i iv = _mm512_load_si512(idx);
+            __mmask8 q_inf = 0;
+            for (int l = 0; l < 8; l++)
+                if ((idx[l] & 0xFF) == 0 || atable[idx[l]].inf)
+                    q_inf |= (__mmask8)(1 << l);
+            __m512i base20 = _mm512_mullo_epi64(iv, _mm512_set1_epi64(20));
+            F2v qx, qy;
+            for (int i = 0; i < 5; i++) {
+                qx.c0.l[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(base20, _mm512_set1_epi64(i)),
+                    (const long long*)t52.data(), 8);
+                qx.c1.l[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(base20, _mm512_set1_epi64(5 + i)),
+                    (const long long*)t52.data(), 8);
+                qy.c0.l[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(base20, _mm512_set1_epi64(10 + i)),
+                    (const long long*)t52.data(), 8);
+                qy.c1.l[i] = _mm512_i64gather_epi64(
+                    _mm512_add_epi64(base20, _mm512_set1_epi64(15 + i)),
+                    (const long long*)t52.data(), 8);
+            }
+            slow_any |= v2_madd(P, acc, qx, qy, q_inf, mont_one);
+        }
+        if (slow_any) {
+            for (int l = 0; l < 8; l++) scalar_one(g0 + l);
+            for (int l = 0; l < 8; l++) jinf[g0 + l] = 2;
+            continue;
+        }
+        m52::Fv c;
+        c = f_mul_const(P, acc.X.c0, one_raw);
+        store_4x64(P, c, &jac[g0 * 24], 24);
+        c = f_mul_const(P, acc.X.c1, one_raw);
+        store_4x64(P, c, &jac[g0 * 24 + 4], 24);
+        c = f_mul_const(P, acc.Y.c0, one_raw);
+        store_4x64(P, c, &jac[g0 * 24 + 8], 24);
+        c = f_mul_const(P, acc.Y.c1, one_raw);
+        store_4x64(P, c, &jac[g0 * 24 + 12], 24);
+        c = f_mul_const(P, acc.Z.c0, one_raw);
+        store_4x64(P, c, &jac[g0 * 24 + 16], 24);
+        c = f_mul_const(P, acc.Z.c1, one_raw);
+        store_4x64(P, c, &jac[g0 * 24 + 20], 24);
+        for (int l = 0; l < 8; l++)
+            jinf[g0 + l] = (acc.inf >> l) & 1;
+    }
+    for (size_t i = g0; i < n; i++) {
+        scalar_one(i);
+        jinf[i] = 2;
+    }
+    // finalize with one batched inversion
+    std::vector<size_t> live;
+    std::vector<Point<F2Q>> lp;
+    for (size_t i = 0; i < n; i++) {
+        if (jinf[i] == 2) continue;
+        if (jinf[i] == 1) {
+            Point<F2Q> p;
+            p.inf = true;
+            store(p, out + out_stride * i);
+            continue;
+        }
+        Point<F2Q> p;
+        typename FQ::T t;
+        memcpy(t.v, &jac[i * 24], 32);
+        p.X.c0 = FQ::to_mont(t);
+        memcpy(t.v, &jac[i * 24 + 4], 32);
+        p.X.c1 = FQ::to_mont(t);
+        memcpy(t.v, &jac[i * 24 + 8], 32);
+        p.Y.c0 = FQ::to_mont(t);
+        memcpy(t.v, &jac[i * 24 + 12], 32);
+        p.Y.c1 = FQ::to_mont(t);
+        memcpy(t.v, &jac[i * 24 + 16], 32);
+        p.Z.c0 = FQ::to_mont(t);
+        memcpy(t.v, &jac[i * 24 + 20], 32);
+        p.Z.c1 = FQ::to_mont(t);
+        p.inf = false;
+        live.push_back(i);
+        lp.push_back(p);
+    }
+    std::vector<AffPt<F2Q>> laff;
+    pt_batch_to_affine<F2Q>(lp, laff);
+    for (size_t k = 0; k < live.size(); k++) {
+        Point<F2Q> p;
+        if (laff[k].inf) {
+            p.inf = true;
+        } else {
+            p.inf = false;
+            p.X = laff[k].X;
+            p.Y = laff[k].Y;
+            p.Z = F2Q::one_mont();
+        }
+        store(p, out + out_stride * live[k]);
+    }
+}
+
 #endif  // HAVE_MONT52
 
 // ---- curve instantiations ----
@@ -923,6 +1186,13 @@ void bn254_g1_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
 }
 void bn254_g2_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
                           u64 *out) {
+#ifdef HAVE_MONT52
+    if (have_ifma_ec() && n >= 64) {
+        fixed_batch_ifma_g2<4, &BN_FQ, BNQ, BNQ2>(
+            bn_l2(base), scalars, n, 254, bn_g2_store, out, 16);
+        return;
+    }
+#endif
     bn254_generic_g2_fixed_batch(base, scalars, n, out);
 }
 MSM_FN(bls12381, 6, BLSQ, BLSQ2, bls_l1, bls_l2, bls_g1_store, bls_g2_store, 255)
