@@ -642,12 +642,14 @@ static inline void g2_store(const Point<F2Q> &p, u64 *xy) {
     memcpy(xy + 3 * NL, ys1.v, NL * 8);
 }
 
-// Pippenger with BATCH-AFFINE bucket accumulation: bucket sums stay in
-// affine coordinates and additions are applied in batches that share one
-// Montgomery-trick inversion — ~7 field muls per addition instead of the
-// 11M+5S Jacobian mixed add.  Conflicting additions (same bucket twice in
-// a batch) are deferred; doubling / cancellation / first-assignment cases
-// are classified before the shared inversion.
+// Pippenger with BATCH-AFFINE bucket accumulation.  Points are
+// counting-sorted by bucket per window, then every bucket's run is
+// pairwise tree-reduced: each level pairs up the remaining entries of
+// ALL buckets at once (independent by construction — no conflict
+// scheduling, linear work even when one bucket holds most points, as
+// repeated 0/1 witness wires commonly do) and shares ONE Montgomery
+// inversion, so an addition costs ~7 field muls.  Doubling /
+// cancellation / infinity lanes are classified before the inversion.
 template <typename FF>
 static void msm_affine_impl(const std::vector<AffPt<FF>> &pts,
                             const u64 *scalars, size_t n, int sbits,
@@ -662,129 +664,161 @@ static void msm_affine_impl(const std::vector<AffPt<FF>> &pts,
     int n_windows = (sbits + window - 1) / window;
     std::vector<Point<FF>> partial(n_windows);
     size_t B = (size_t)1 << window;
-    const size_t BATCH = 2048;
 
-    std::vector<AffPt<FF>> acc(B);
-    std::vector<uint32_t> epoch(B, 0);
-    std::vector<uint32_t> batch_b(BATCH), batch_i(BATCH);
-    std::vector<std::pair<uint32_t, uint32_t>> overflow;
-    // per-batch scratch for the shared inversion
-    std::vector<typename FF::T> dens(BATCH), pref(BATCH), lambdas(BATCH);
-    std::vector<int> kind(BATCH);  // 0 add, 1 double, 2 assign, 3 drop
+    std::vector<uint32_t> counts(B), offs(B + 1);
+    std::vector<uint32_t> bidx(n);
+    std::vector<AffPt<FF>> cur(n);
+    std::vector<typename FF::T> dens, pref, lambdas;
+    std::vector<uint32_t> p_lo, p_hi, p_out;
+    std::vector<int> kind;
+    struct Run {
+        uint32_t bucket, start, len;
+    };
+    std::vector<Run> runs;
 
     for (int w = 0; w < n_windows; ++w) {
-        for (size_t b = 0; b < B; ++b) acc[b].inf = true;
-        std::fill(epoch.begin(), epoch.end(), 0u);
-        uint32_t cur_epoch = 1;
         int shift = w * window;
         int limb = shift / 64;
         int off = shift % 64;
-        size_t nb = 0;
-        overflow.clear();
+        std::fill(counts.begin(), counts.end(), 0u);
+        for (size_t i = 0; i < n; ++i) {
+            u64 idx = 0;
+            if (!pts[i].inf) {
+                const u64 *s = scalars + 4 * i;
+                idx = s[limb] >> off;
+                if (off + window > 64 && limb + 1 < 4)
+                    idx |= s[limb + 1] << (64 - off);
+                idx &= (((u64)1 << window) - 1);
+            }
+            bidx[i] = (uint32_t)idx;
+            if (idx) counts[idx]++;
+        }
+        offs[0] = 0;
+        for (size_t b = 0; b < B; ++b) offs[b + 1] = offs[b] + counts[b];
+        size_t live = offs[B];
+        {
+            std::vector<uint32_t> cursor(offs.begin(), offs.end() - 1);
+            for (size_t i = 0; i < n; ++i)
+                if (bidx[i]) cur[cursor[bidx[i]]++] = pts[i];
+        }
+        runs.clear();
+        for (size_t b = 1; b < B; ++b)
+            if (counts[b])
+                runs.push_back({(uint32_t)b, offs[b], counts[b]});
 
-        auto apply_batch = [&]() {
-            if (nb == 0) return;
-            // classify and collect denominators
+        // pairwise tree reduction: one shared inversion per level
+        bool again = true;
+        while (again) {
+            again = false;
+            p_lo.clear();
+            p_hi.clear();
+            p_out.clear();
+            // odd leftovers move AFTER the apply pass: the destination
+            // slot start+pairs is still a live pair input this level
+            static thread_local std::vector<std::pair<uint32_t, uint32_t>>
+                odd_moves;
+            odd_moves.clear();
+            for (auto &r : runs) {
+                if (r.len <= 1) continue;
+                uint32_t pairs = r.len / 2;
+                for (uint32_t k = 0; k < pairs; ++k) {
+                    p_lo.push_back(r.start + 2 * k);
+                    p_hi.push_back(r.start + 2 * k + 1);
+                    p_out.push_back(r.start + k);
+                }
+                if (r.len & 1)
+                    odd_moves.emplace_back(r.start + r.len - 1,
+                                           r.start + pairs);
+                r.len = pairs + (r.len & 1);
+                if (r.len > 1) again = true;
+            }
+            size_t np = p_lo.size();
+            if (np == 0) break;
+            dens.resize(np);
+            pref.resize(np);
+            lambdas.resize(np);
+            kind.resize(np);
             size_t nd = 0;
-            for (size_t k = 0; k < nb; ++k) {
-                const AffPt<FF> &a = acc[batch_b[k]];
-                const AffPt<FF> &p = pts[batch_i[k]];
-                if (a.inf) {
-                    kind[k] = 2;
+            for (size_t k = 0; k < np; ++k) {
+                const AffPt<FF> &a = cur[p_lo[k]];
+                const AffPt<FF> &b2 = cur[p_hi[k]];
+                if (a.inf || b2.inf) {
+                    kind[k] = a.inf ? 2 : 3;  // take b / take a
                     continue;
                 }
-                auto dx = FF::sub(p.X, a.X);
+                auto dx = FF::sub(b2.X, a.X);
                 if (FF::is_zero(dx)) {
-                    if (FF::is_zero(FF::sub(p.Y, a.Y))) {
-                        kind[k] = 1;  // double: den = 2y
+                    if (FF::is_zero(FF::sub(b2.Y, a.Y))) {
+                        kind[k] = 1;
                         dens[nd++] = FF::dbl(a.Y);
                     } else {
-                        kind[k] = 3;  // p = -a: bucket annihilates
+                        kind[k] = 4;  // opposite points: infinity
                     }
                 } else {
                     kind[k] = 0;
                     dens[nd++] = dx;
                 }
             }
-            // shared inversion
             if (nd) {
-                auto run = FF::one_mont();
+                auto run2 = FF::one_mont();
                 for (size_t k = 0; k < nd; ++k) {
-                    run = FF::mul(run, dens[k]);
-                    pref[k] = run;
+                    run2 = FF::mul(run2, dens[k]);
+                    pref[k] = run2;
                 }
-                auto inv = FF::inv(run);
+                auto inv = FF::inv(run2);
                 for (size_t k = nd; k-- > 1;) {
                     lambdas[k] = FF::mul(inv, pref[k - 1]);
                     inv = FF::mul(inv, dens[k]);
                 }
                 lambdas[0] = inv;
             }
-            // apply
             size_t di = 0;
-            for (size_t k = 0; k < nb; ++k) {
-                AffPt<FF> &a = acc[batch_b[k]];
-                const AffPt<FF> &p = pts[batch_i[k]];
+            for (size_t k = 0; k < np; ++k) {
+                const AffPt<FF> a = cur[p_lo[k]];
+                const AffPt<FF> b2 = cur[p_hi[k]];
+                AffPt<FF> &o = cur[p_out[k]];
                 if (kind[k] == 2) {
-                    a = p;
+                    o = b2;
                     continue;
                 }
                 if (kind[k] == 3) {
-                    a.inf = true;
+                    o = a;
+                    continue;
+                }
+                if (kind[k] == 4) {
+                    o.inf = true;
                     continue;
                 }
                 typename FF::T lam;
                 if (kind[k] == 1) {
-                    // lambda = 3x^2 / 2y
                     auto x2 = FF::sq(a.X);
                     lam = FF::mul(FF::add(FF::add(x2, x2), x2),
                                   lambdas[di++]);
                 } else {
-                    lam = FF::mul(FF::sub(p.Y, a.Y), lambdas[di++]);
+                    lam = FF::mul(FF::sub(b2.Y, a.Y), lambdas[di++]);
                 }
-                auto x3 = FF::sub(FF::sub(FF::sq(lam), a.X), p.X);
+                auto x3 = FF::sub(FF::sub(FF::sq(lam), a.X), b2.X);
                 auto y3 = FF::sub(FF::mul(lam, FF::sub(a.X, x3)), a.Y);
-                a.X = x3;
-                a.Y = y3;
+                o.X = x3;
+                o.Y = y3;
+                o.inf = false;
             }
-            nb = 0;
-            ++cur_epoch;
-        };
-
-        auto push = [&](uint32_t b, uint32_t i) {
-            if (epoch[b] == cur_epoch) {
-                overflow.emplace_back(b, i);
-                return;
-            }
-            epoch[b] = cur_epoch;
-            batch_b[nb] = b;
-            batch_i[nb] = i;
-            if (++nb == BATCH) apply_batch();
-        };
-
-        for (size_t i = 0; i < n; ++i) {
-            if (pts[i].inf) continue;
-            const u64 *s = scalars + 4 * i;
-            u64 idx = s[limb] >> off;
-            if (off + window > 64 && limb + 1 < 4)
-                idx |= s[limb + 1] << (64 - off);
-            idx &= (((u64)1 << window) - 1);
-            if (idx) push((uint32_t)idx, (uint32_t)i);
+            for (auto &m : odd_moves) cur[m.second] = cur[m.first];
         }
-        while (!overflow.empty()) {
-            auto work = std::move(overflow);
-            overflow.clear();
-            for (auto &e : work) push(e.first, e.second);
-            apply_batch();
-        }
-        apply_batch();
+        (void)live;
 
-        // bucket reduction (small: Jacobian mixed adds)
+        // bucket reduction (Jacobian): buckets descending
         Point<FF> running, tot;
         running.inf = true;
         tot.inf = true;
+        size_t ri = runs.size();
         for (size_t b = B - 1; b >= 1; --b) {
-            if (!acc[b].inf) running = pt_madd(running, acc[b]);
+            while (ri > 0 && runs[ri - 1].bucket > b) --ri;
+            if (ri > 0 && runs[ri - 1].bucket == b) {
+                const AffPt<FF> &a = cur[runs[ri - 1].start];
+                if (!a.inf) running = pt_madd(running, a);
+                --ri;
+            }
             tot = pt_add(tot, running);
         }
         partial[w] = tot;
