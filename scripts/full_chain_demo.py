@@ -14,7 +14,10 @@ headline flow) with every circom/WASM/bellman step replaced by the native
 equivalents.  Sized down (2 queries) so it completes in tens of minutes in
 pure Python; the TPU/native kernels accelerate the same code paths.
 
-Usage: python scripts/full_chain_demo.py [out_dir]
+Usage: python scripts/full_chain_demo.py [out_dir] [--curve bn128|bls12381]
+
+`--curve bls12381` runs the reference's simple_bls.sh variant: the final
+eSTARK uses the BLS12-381 transcript and the wrap is a BLS12-381 Groth16.
 """
 import json
 import os
@@ -63,7 +66,7 @@ def log(stage, t0, **kw):
           f"({time.time() - t0:.1f}s) {kw}", flush=True)
 
 
-def main(out_dir="/tmp/full_chain"):
+def main(out_dir="/tmp/full_chain", curve_name="bn128"):
     os.makedirs(out_dir, exist_ok=True)
     total0 = time.time()
 
@@ -107,7 +110,15 @@ def main(out_dir="/tmp/full_chain"):
     zkin3 = stark_proof_to_dict(p3, "GL")
     log("L3 recursive2 (agg)", t0, n_bits=ps3.n_bits)
 
-    # L4+L5: final GL compressor, proven with the BN128 transcript
+    # L4+L5: final GL compressor, proven with the snark curve's transcript
+    if curve_name == "bls12381":
+        from eigen_zkvm_tpu.curves import bls12_381 as snark_curve
+        from eigen_zkvm_tpu.hash import poseidon_bls12381 as pbn_mod
+        hash_type = "BLS12381"
+    else:
+        snark_curve = bn254
+        pbn_mod = poseidon_bn128
+        hash_type = "BN128"
     t0 = time.time()
     circuit4, ps4 = None, None
     from eigen_zkvm_tpu.recursion.compressor12 import (compressor12_setup,
@@ -115,42 +126,44 @@ def main(out_dir="/tmp/full_chain"):
     opt4 = StarkOption(verkey_input=True)
     circuit4, ps4 = compressor12_setup(zkin3, s3, ss3, opt4)
     cm4 = exec_witness(circuit4, ps4)
-    final_ss = mk_ss(ps4.n_bits, "BN128")
+    final_ss = mk_ss(ps4.n_bits, hash_type)
     setup4 = StarkSetup(ps4.const_pols, ps4.pil, final_ss)
     p4 = stark_gen(cm4, ps4.const_pols, setup4.const_tree, setup4.starkinfo,
                    setup4.program, final_ss, prover_addr=PROVER_ADDR)
     assert stark_verify(p4, setup4.const_root, setup4.starkinfo, final_ss,
                         setup4.program)
-    zkin4 = stark_proof_to_dict(p4, "BN128")
+    zkin4 = stark_proof_to_dict(p4, hash_type)
     with open(f"{out_dir}/final.zkin.json", "w") as f:
         json.dump(zkin4, f)
-    log("L4+L5 final BN128 eSTARK", t0, n_bits=ps4.n_bits,
+    log(f"L4+L5 final {hash_type} eSTARK", t0, n_bits=ps4.n_bits,
         publics=len(zkin4["publics"]))
 
     # L6: on-chain circuit + Groth16
     t0 = time.time()
     b = build_final_main(zkin4, setup4.starkinfo, setup4.program, final_ss,
-                         setup4.const_root, poseidon_bn128)
+                         setup4.const_root, pbn_mod,
+                         curve_r=snark_curve.R)
     assert b.check()
     log("L6a on-chain circuit", t0, n_vars=b.n_vars,
         constraints=len(b.constraints))
 
     t0 = time.time()
-    pk, vk = g16.setup(bn254, b.constraints, b.n_vars, b.n_publics)
+    pk, vk = g16.setup(snark_curve, b.constraints, b.n_vars, b.n_publics)
     log("L6b groth16 setup", t0, domain=pk.domain_size)
     t0 = time.time()
-    g16_proof, publics = g16.prove(bn254, pk, b.constraints, b.w)
+    g16_proof, publics = g16.prove(snark_curve, pk, b.constraints, b.w)
     log("L6c groth16 prove", t0)
     t0 = time.time()
-    ok = g16.verify(bn254, vk, g16_proof, publics)
+    ok = g16.verify(snark_curve, vk, g16_proof, publics)
     assert ok, "groth16 verification failed"
-    assert not g16.verify(bn254, vk, g16_proof, [(publics[0] + 1) % bn254.R])
+    assert not g16.verify(snark_curve, vk, g16_proof,
+                          [(publics[0] + 1) % snark_curve.R])
     log("L6d groth16 verify", t0, ok=ok)
 
     with open(f"{out_dir}/g16.vk.json", "w") as f:
         f.write(g16api.vk_to_json(vk))
     with open(f"{out_dir}/g16.proof.json", "w") as f:
-        f.write(g16api.proof_to_json(g16_proof, "bn128"))
+        f.write(g16api.proof_to_json(g16_proof, curve_name))
     with open(f"{out_dir}/verifier.sol", "w") as f:
         f.write(g16api.generate_verifier_from_vk(vk))
     print(f"TOTAL {time.time() - total0:.1f}s — FULL MIXED CHAIN OK; "
@@ -158,4 +171,12 @@ def main(out_dir="/tmp/full_chain"):
 
 
 if __name__ == "__main__":
-    main(*sys.argv[1:])
+    args = [a for a in sys.argv[1:] if not a.startswith("--")]
+    curve = "bn128"
+    for i, a in enumerate(sys.argv[1:]):
+        if a == "--curve":
+            curve = sys.argv[1:][i + 1]
+        elif a.startswith("--curve="):
+            curve = a.split("=", 1)[1]
+    args = [a for a in args if a not in ("bn128", "bls12381")]
+    main(*(args or ["/tmp/full_chain"]), curve_name=curve)
