@@ -262,10 +262,68 @@ def _msm(curve, points, scalars, g1: bool):
     return (msm_g1 if g1 else msm_g2)(curve, points, scalars)
 
 
+def _int_limbs(vals, r):
+    """List of ints -> [n, 4] u64 LE limb array (values reduced mod r)."""
+    import numpy as np
+
+    blob = b"".join((int(v) % r).to_bytes(32, "little") for v in vals)
+    return np.frombuffer(blob, dtype="<u8").reshape(len(vals), 4).copy()
+
+
+def _r1cs_csr(nat, constraints, r):
+    """Cached CSR form of the three constraint matrices with
+    Montgomery-converted coefficients (one conversion per proving key)."""
+    import numpy as np
+
+    ent = _msm_prep_cache.get(("csr", id(constraints)))
+    if ent is not None and ent[0] is constraints:
+        return ent[1]
+    mats = []
+    for sel in range(3):
+        indptr = np.empty(len(constraints) + 1, dtype=np.uint64)
+        indptr[0] = 0
+        wires = []
+        coefs = []
+        for j, row in enumerate(constraints):
+            d = row[sel]
+            for s, c in d.items():
+                wires.append(s)
+                coefs.append(c)
+            indptr[j + 1] = len(wires)
+        wires = np.asarray(wires, dtype=np.uint32)
+        coefs_m = nat.fr_to_mont(_int_limbs(coefs, r))
+        mats.append((indptr, wires, coefs_m))
+    _msm_prep_cache[("csr", id(constraints))] = (constraints, mats)
+    return mats
+
+
 def _witness_h(curve, constraints, witness, n_pub_total, m):
     """Coefficients of H = (A*B - C)/Z via coset NTTs over F_r."""
+    import numpy as np
+
     r = curve.R
     w = _find_root(r, m)
+    nc = len(constraints)
+    shift = 5  # any non-subgroup element works as the coset shift
+    nat = _native_ec(curve)
+    if nat is not None:
+        # sparse evaluation + the whole quotient pipeline on limb arrays
+        mats = _r1cs_csr(nat, constraints, r)
+        wit_l = _int_limbs(witness, r)
+        abz = []
+        for indptr, wires, coefs_m in mats:
+            vals = nat.r1cs_eval(indptr, wires, coefs_m, wit_l)
+            full = np.zeros((m, 4), dtype=np.uint64)
+            full[:nc] = vals
+            abz.append(full)
+        az_a, bz_a, cz_a = abz
+        az_a[nc : nc + n_pub_total] = wit_l[:n_pub_total]
+        z_coset_inv = pow((pow(shift, m, r) - 1) % r, r - 2, r)
+        out = nat.fr_witness_h(az_a, bz_a, cz_a, w, shift, z_coset_inv,
+                               raw=True)
+        assert not out[m - 1].any(), "H degree overflow"
+        return np.ascontiguousarray(out[: m - 1])
+
     az = [0] * m
     bz = [0] * m
     cz = [0] * m
@@ -273,17 +331,8 @@ def _witness_h(curve, constraints, witness, n_pub_total, m):
         az[j] = sum(witness[s] * c for s, c in A.items()) % r
         bz[j] = sum(witness[s] * c for s, c in B.items()) % r
         cz[j] = sum(witness[s] * c for s, c in C.items()) % r
-    nc = len(constraints)
     for i in range(n_pub_total):
         az[nc + i] = witness[i] % r
-
-    shift = 5  # any non-subgroup element works as the coset shift
-    nat = _native_ec(curve)
-    if nat is not None:
-        z_coset_inv = pow((pow(shift, m, r) - 1) % r, r - 2, r)
-        out = nat.fr_witness_h(az, bz, cz, w, shift, z_coset_inv)
-        assert out[m - 1] == 0, "H degree overflow"
-        return out[: m - 1]
 
     def to_coset(evals):
         coeffs = _intt(evals, w, r)

@@ -305,11 +305,16 @@ class _EcCurve:
         self._g1_fixed = getattr(lib, f"{prefix}_g1_fixed_batch")
         self._g2_fixed = getattr(lib, f"{prefix}_g2_fixed_batch")
         self._wh = getattr(lib, f"{prefix}_fr_witness_h")
+        self._r1cs = getattr(lib, f"{prefix}_r1cs_eval")
+        self._tomont = getattr(lib, f"{prefix}_fr_to_mont")
         for fn in (self._g1_msm, self._g2_msm, self._g1_fixed,
                    self._g2_fixed):
             fn.argtypes = [u64p, u64p, ctypes.c_uint64, u64p]
         self._wh.argtypes = [u64p, u64p, u64p, ctypes.c_uint64,
                              u64p, u64p, u64p, u64p]
+        self._r1cs.argtypes = [u64p, u64p, u64p, ctypes.c_uint64, u64p,
+                               ctypes.c_uint64, u64p]
+        self._tomont.argtypes = [u64p, ctypes.c_uint64, u64p]
 
     def _limbs(self, vals, width):
         nb = self._n * 8
@@ -374,7 +379,23 @@ class _EcCurve:
             res.append(tuple(r) if r else None)
         return res
 
-    def fr_witness_h(self, az, bz, cz, w, shift, zinv):
+    def fr_to_mont(self, vals: np.ndarray) -> np.ndarray:
+        """[n, 4] value-space limbs -> Montgomery-form limbs."""
+        vals = np.ascontiguousarray(vals, dtype=np.uint64)
+        out = np.empty_like(vals)
+        self._tomont(_ptr(vals), vals.shape[0], _ptr(out))
+        return out
+
+    def r1cs_eval(self, indptr: np.ndarray, wires: np.ndarray,
+                  coefs_mont: np.ndarray, witness: np.ndarray) -> np.ndarray:
+        """Sparse rows (CSR) dot witness over F_r -> [nc, 4] value limbs."""
+        nc = indptr.shape[0] - 1
+        out = np.empty((nc, 4), dtype=np.uint64)
+        self._r1cs(_ptr(indptr), _ptr(wires), _ptr(coefs_mont), nc,
+                   _ptr(witness), witness.shape[0], _ptr(out))
+        return out
+
+    def fr_witness_h(self, az, bz, cz, w, shift, zinv, raw: bool = False):
         n = len(az)
         a = self._scalars(az)
         b = self._scalars(bz)
@@ -385,6 +406,8 @@ class _EcCurve:
         out = np.zeros((n, 4), dtype=np.uint64)
         self._wh(_ptr(a), _ptr(b), _ptr(c), n, _ptr(wv), _ptr(sv), _ptr(zv),
                  _ptr(out))
+        if raw:
+            return out  # [n, 4] value limbs (callers slice/check directly)
         return [int(out[i, 0]) | int(out[i, 1]) << 64 | int(out[i, 2]) << 128
                 | int(out[i, 3]) << 192 for i in range(n)]
 

@@ -1500,6 +1500,53 @@ static void witness_h_impl(u64 *az, u64 *bz, u64 *cz, u64 n,
     delete[] c;
 }
 
+// Sparse R1CS matrix evaluation over F_r: out[j] = sum_k coef_k * w_k for
+// CSR rows (indptr/wires/coefs).  Coefs arrive PRE-CONVERTED to Montgomery
+// (cached per proving key python-side); witness is converted here once.
+template <typename FR>
+static void r1cs_eval_impl(const u64 *indptr, const uint32_t *wires,
+                           const u64 *coefs_mont, u64 nc,
+                           const u64 *witness, u64 nv, u64 *out) {
+    typedef typename FR::T T;
+    std::vector<T> wm(nv);
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long long i = 0; i < (long long)nv; ++i) {
+        T t;
+        memcpy(t.v, witness + 4 * i, 32);
+        wm[i] = FR::to_mont(t);
+    }
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long long j = 0; j < (long long)nc; ++j) {
+        T acc;
+        memset(acc.v, 0, sizeof(acc.v));
+        for (u64 k = indptr[j]; k < indptr[j + 1]; ++k) {
+            T c;
+            memcpy(c.v, coefs_mont + 4 * k, 32);
+            acc = FR::add(acc, FR::mul(c, wm[wires[k]]));
+        }
+        T r = FR::from_mont(acc);
+        memcpy(out + 4 * j, r.v, 32);
+    }
+}
+
+template <typename FR>
+static void fr_to_mont_impl(const u64 *vals, u64 n, u64 *out) {
+    typedef typename FR::T T;
+#ifdef _OPENMP
+#pragma omp parallel for schedule(static)
+#endif
+    for (long long i = 0; i < (long long)n; ++i) {
+        T t;
+        memcpy(t.v, vals + 4 * i, 32);
+        T r = FR::to_mont(t);
+        memcpy(out + 4 * i, r.v, 32);
+    }
+}
+
 typedef F<4, &BN_FR> BNR;
 typedef F<4, &BLS_FR> BLSR;
 
@@ -1513,6 +1560,26 @@ void bn254_fr_witness_h(u64 *az, u64 *bz, u64 *cz, u64 n, const u64 *w,
 void bls12381_fr_witness_h(u64 *az, u64 *bz, u64 *cz, u64 n, const u64 *w,
                            const u64 *shift, const u64 *zinv, u64 *out) {
     witness_h_impl<BLSR>(az, bz, cz, n, w, shift, zinv, out);
+}
+
+void bn254_r1cs_eval(const u64 *indptr, const uint32_t *wires,
+                     const u64 *coefs_mont, u64 nc, const u64 *witness,
+                     u64 nv, u64 *out) {
+    r1cs_eval_impl<BNR>(indptr, wires, coefs_mont, nc, witness, nv, out);
+}
+
+void bls12381_r1cs_eval(const u64 *indptr, const uint32_t *wires,
+                        const u64 *coefs_mont, u64 nc, const u64 *witness,
+                        u64 nv, u64 *out) {
+    r1cs_eval_impl<BLSR>(indptr, wires, coefs_mont, nc, witness, nv, out);
+}
+
+void bn254_fr_to_mont(const u64 *vals, u64 n, u64 *out) {
+    fr_to_mont_impl<BNR>(vals, n, out);
+}
+
+void bls12381_fr_to_mont(const u64 *vals, u64 n, u64 *out) {
+    fr_to_mont_impl<BLSR>(vals, n, out);
 }
 
 }  // extern "C"
