@@ -381,7 +381,9 @@ def compute_evals(ctx, LEv, LpEv):
     state["LpEv"] = _split64(np.asarray(LpEv))
 
     key = ("evals", id(si), ctx.nbits, ctx.nbits_ext)
-    fn = _jit_cache.get(key)
+    ent = _jit_cache.get(key)
+    # keep the starkinfo reference: it guards id() reuse after GC
+    fn = ent[1] if ent is not None and ent[0] is si else None
     if fn is None:
         ents = tuple(entries)
 
@@ -402,7 +404,7 @@ def compute_evals(ctx, LEv, LpEv):
             return jnp.stack(outs_lo), jnp.stack(outs_hi)
 
         fn = jax.jit(run)
-        _jit_cache[key] = fn
+        _jit_cache[key] = (si, fn)
     lo, hi = fn(state)
     return _join64(lo, hi)
 
@@ -441,11 +443,12 @@ def execute_segment(ctx, segment, dom: str):
         state[name] = fetch(name, arr)
 
     key = (id(segment), dom, ctx.nbits, ctx.nbits_ext)
-    fn = _jit_cache.get(key)
+    ent = _jit_cache.get(key)
+    fn = ent[1] if ent is not None and ent[0] is segment else None
     if fn is None:
         fn = jax.jit(lambda st: _trace_segment(
             si, segment, dom, ctx.nbits, ctx.nbits_ext, st))
-        _jit_cache[key] = fn
+        _jit_cache[key] = (segment, fn)
     out = fn(state)
     for name, pair in out.items():
         ctx.sections[name][:, :] = _join64(pair[0], pair[1])

@@ -167,14 +167,17 @@ def execute_segment(ctx, segment, dom: str) -> bool:
         return False
     si = ctx.starkinfo
     key = (id(segment), dom, ctx.nbits, ctx.nbits_ext)
-    enc = _encode_cache.get(key, "missing")
-    if enc == "missing":
+    ent = _encode_cache.get(key)
+    # the stored segment reference guards id() reuse after GC (and keeps
+    # the segment alive so the guard holds)
+    if ent is None or ent[0] is not segment:
         widths = {name: ctx.sections[name].shape[1] for name in _SECTIONS}
         try:
             enc = _encode(si, widths, segment, dom, ctx.nbits, ctx.nbits_ext)
         except Exception:
             enc = None
-        _encode_cache[key] = enc
+        _encode_cache[key] = ent = (segment, enc)
+    enc = ent[1]
     if enc is None:
         return False
 
