@@ -381,34 +381,36 @@ static bool have_ifma_ec() {
     return ok;
 }
 
+template <int L>
 struct VPt {
-    m52::Fv X, Y, Z;
+    m52::Fv<L> X, Y, Z;
     __mmask8 inf;  // set bit = lane is infinity
 };
 
 // vector mixed add: q affine (lanes with q_inf skip); returns mask of
 // lanes needing the scalar slow path (doubling / cancellation)
-static inline __mmask8 v_madd(const m52::M52Params& P, VPt& p,
-                              const m52::Fv& qx, const m52::Fv& qy,
-                              __mmask8 q_inf, const m52::Fv& mont_one) {
+template <int L>
+static inline __mmask8 v_madd(const m52::M52Params<L>& P, VPt<L>& p,
+                              const m52::Fv<L>& qx, const m52::Fv<L>& qy,
+                              __mmask8 q_inf, const m52::Fv<L>& mont_one) {
     using namespace m52;
-    Fv Z1Z1 = f_sq(P, p.Z);
-    Fv U2 = f_mul(P, qx, Z1Z1);
-    Fv S2 = f_mul(P, f_mul(P, qy, p.Z), Z1Z1);
-    Fv H = f_sub(P, U2, p.X);
-    Fv Rv = f_sub(P, S2, p.Y);
+    Fv<L> Z1Z1 = f_sq(P, p.Z);
+    Fv<L> U2 = f_mul(P, qx, Z1Z1);
+    Fv<L> S2 = f_mul(P, f_mul(P, qy, p.Z), Z1Z1);
+    Fv<L> H = f_sub(P, U2, p.X);
+    Fv<L> Rv = f_sub(P, S2, p.Y);
     __mmask8 h0 = f_is_zero_mod(P, H);
     __mmask8 active = (__mmask8)(~p.inf & ~q_inf);
     __mmask8 slow = (__mmask8)(h0 & active);  // double or annihilate
-    Fv HH = f_sq(P, H);
-    Fv I = f_dbl(P, f_dbl(P, HH));
-    Fv J = f_mul(P, H, I);
-    Fv r2 = f_dbl(P, Rv);
-    Fv V = f_mul(P, p.X, I);
-    Fv X3 = f_sub(P, f_sub(P, f_sq(P, r2), J), f_dbl(P, V));
-    Fv Y3 = f_sub(P, f_mul(P, r2, f_sub(P, V, X3)),
-                  f_dbl(P, f_mul(P, p.Y, J)));
-    Fv Z3 = f_sub(P, f_sub(P, f_sq(P, f_add(P, p.Z, H)), Z1Z1), HH);
+    Fv<L> HH = f_sq(P, H);
+    Fv<L> I = f_dbl(P, f_dbl(P, HH));
+    Fv<L> J = f_mul(P, H, I);
+    Fv<L> r2 = f_dbl(P, Rv);
+    Fv<L> V = f_mul(P, p.X, I);
+    Fv<L> X3 = f_sub(P, f_sub(P, f_sq(P, r2), J), f_dbl(P, V));
+    Fv<L> Y3 = f_sub(P, f_mul(P, r2, f_sub(P, V, X3)),
+                     f_dbl(P, f_mul(P, p.Y, J)));
+    Fv<L> Z3 = f_sub(P, f_sub(P, f_sq(P, f_add(P, p.Z, H)), Z1Z1), HH);
     // p.inf lanes: result = q (affine promoted, Z = R mod p i.e. mont(1))
     // q_inf lanes: result = p (unchanged)
     __mmask8 take_q = (__mmask8)(p.inf & ~q_inf);
@@ -434,14 +436,14 @@ static inline __mmask8 v_madd(const m52::M52Params& P, VPt& p,
 // the caller batch-normalizes.
 #ifdef HAVE_MONT52
 
-// value -> value * 2^260 mod p (scalar helper for table conversion)
-template <int NL, const FieldParams<NL>* FP>
-static void to_mont52_value(const u64 in[4], u64 out[5]) {
-    u64 v[4];
-    memcpy(v, in, sizeof(v));
-    for (int d = 0; d < 260; d++) {
+// value -> value * 2^(52*L) mod p (scalar helper for table conversion)
+template <int NL, const FieldParams<NL>* FP, int L>
+static void to_mont52_value(const u64* in, u64* out) {
+    u64 v[NL];
+    memcpy(v, in, NL * 8);
+    for (int d = 0; d < 52 * L; d++) {
         u64 carry = 0;
-        for (int k = 0; k < 4; k++) {
+        for (int k = 0; k < NL; k++) {
             u64 nv = (v[k] << 1) | carry;
             carry = v[k] >> 63;
             v[k] = nv;
@@ -449,99 +451,107 @@ static void to_mont52_value(const u64 in[4], u64 out[5]) {
         bool ge = carry != 0;
         if (!ge) {
             ge = true;
-            for (int i = 3; i >= 0; i--) {
+            for (int i = NL - 1; i >= 0; i--) {
                 if (v[i] > FP->P[i]) break;
                 if (v[i] < FP->P[i]) { ge = false; break; }
             }
         }
         if (ge) {
             u128 borrow = 0;
-            for (int i = 0; i < 4; i++) {
+            for (int i = 0; i < NL; i++) {
                 u128 dd = (u128)v[i] - FP->P[i] - (u64)borrow;
                 v[i] = (u64)dd;
                 borrow = (dd >> 64) ? 1 : 0;
             }
         }
     }
-    const u64 M = m52::MASK52;
-    out[0] = v[0] & M;
-    out[1] = ((v[0] >> 52) | (v[1] << 12)) & M;
-    out[2] = ((v[1] >> 40) | (v[2] << 24)) & M;
-    out[3] = ((v[2] >> 28) | (v[3] << 36)) & M;
-    out[4] = v[3] >> 16;
+    m52::split52<NL, L>(v, out);
 }
 
-// vector Fq2 (u^2 = -1) over the 5x52 core — 8 extension elements/vector
+// vector Fq2 (u^2 = -1) over the Lx52 core — 8 extension elements/vector
+template <int L>
 struct F2v {
-    m52::Fv c0, c1;
+    m52::Fv<L> c0, c1;
 };
 
-static inline F2v f2_add(const m52::M52Params& P, const F2v& a,
-                         const F2v& b) {
+template <int L>
+static inline F2v<L> f2_add(const m52::M52Params<L>& P, const F2v<L>& a,
+                            const F2v<L>& b) {
     return {m52::f_add(P, a.c0, b.c0), m52::f_add(P, a.c1, b.c1)};
 }
 
-static inline F2v f2_sub(const m52::M52Params& P, const F2v& a,
-                         const F2v& b) {
+template <int L>
+static inline F2v<L> f2_sub(const m52::M52Params<L>& P, const F2v<L>& a,
+                            const F2v<L>& b) {
     return {m52::f_sub(P, a.c0, b.c0), m52::f_sub(P, a.c1, b.c1)};
 }
 
-static inline F2v f2_dbl(const m52::M52Params& P, const F2v& a) {
+template <int L>
+static inline F2v<L> f2_dbl(const m52::M52Params<L>& P, const F2v<L>& a) {
     return {m52::f_dbl(P, a.c0), m52::f_dbl(P, a.c1)};
 }
 
-static inline F2v f2_mul(const m52::M52Params& P, const F2v& a,
-                         const F2v& b) {
+template <int L>
+static inline F2v<L> f2_mul(const m52::M52Params<L>& P, const F2v<L>& a,
+                            const F2v<L>& b) {
     using namespace m52;
-    Fv t0 = f_mul(P, a.c0, b.c0);
-    Fv t1 = f_mul(P, a.c1, b.c1);
-    Fv s = f_mul(P, f_add(P, a.c0, a.c1), f_add(P, b.c0, b.c1));
+    Fv<L> t0 = f_mul(P, a.c0, b.c0);
+    Fv<L> t1 = f_mul(P, a.c1, b.c1);
+    Fv<L> s = f_mul(P, f_add(P, a.c0, a.c1), f_add(P, b.c0, b.c1));
     return {f_sub(P, t0, t1), f_sub(P, f_sub(P, s, t0), t1)};
 }
 
-static inline F2v f2_sq(const m52::M52Params& P, const F2v& a) {
+template <int L>
+static inline F2v<L> f2_sq(const m52::M52Params<L>& P, const F2v<L>& a) {
     return f2_mul(P, a, a);
 }
 
-static inline __mmask8 f2_is_zero_mod(const m52::M52Params& P, const F2v& a) {
+template <int L>
+static inline __mmask8 f2_is_zero_mod(const m52::M52Params<L>& P,
+                                      const F2v<L>& a) {
     return (__mmask8)(m52::f_is_zero_mod(P, a.c0)
                       & m52::f_is_zero_mod(P, a.c1));
 }
 
-static inline F2v f2_select(__mmask8 k, const F2v& if0, const F2v& if1) {
+template <int L>
+static inline F2v<L> f2_select(__mmask8 k, const F2v<L>& if0,
+                               const F2v<L>& if1) {
     return {m52::f_select(k, if0.c0, if1.c0),
             m52::f_select(k, if0.c1, if1.c1)};
 }
 
-static inline F2v f2_zero() {
-    return {m52::f_zero(), m52::f_zero()};
+template <int L>
+static inline F2v<L> f2_zero() {
+    return {m52::f_zero<L>(), m52::f_zero<L>()};
 }
 
+template <int L>
 struct VPt2 {
-    F2v X, Y, Z;
+    F2v<L> X, Y, Z;
     __mmask8 inf;
 };
 
-static inline __mmask8 v2_madd(const m52::M52Params& P, VPt2& p,
-                               const F2v& qx, const F2v& qy, __mmask8 q_inf,
-                               const F2v& mont_one) {
-    F2v Z1Z1 = f2_sq(P, p.Z);
-    F2v U2 = f2_mul(P, qx, Z1Z1);
-    F2v S2 = f2_mul(P, f2_mul(P, qy, p.Z), Z1Z1);
-    F2v H = f2_sub(P, U2, p.X);
-    F2v Rv = f2_sub(P, S2, p.Y);
+template <int L>
+static inline __mmask8 v2_madd(const m52::M52Params<L>& P, VPt2<L>& p,
+                               const F2v<L>& qx, const F2v<L>& qy,
+                               __mmask8 q_inf, const F2v<L>& mont_one) {
+    F2v<L> Z1Z1 = f2_sq(P, p.Z);
+    F2v<L> U2 = f2_mul(P, qx, Z1Z1);
+    F2v<L> S2 = f2_mul(P, f2_mul(P, qy, p.Z), Z1Z1);
+    F2v<L> H = f2_sub(P, U2, p.X);
+    F2v<L> Rv = f2_sub(P, S2, p.Y);
     __mmask8 h0 = f2_is_zero_mod(P, H);
     __mmask8 active = (__mmask8)(~p.inf & ~q_inf);
     __mmask8 slow = (__mmask8)(h0 & active);
-    F2v HH = f2_sq(P, H);
-    F2v I = f2_dbl(P, f2_dbl(P, HH));
-    F2v J = f2_mul(P, H, I);
-    F2v r2 = f2_dbl(P, Rv);
-    F2v V = f2_mul(P, p.X, I);
-    F2v X3 = f2_sub(P, f2_sub(P, f2_sq(P, r2), J), f2_dbl(P, V));
-    F2v Y3 = f2_sub(P, f2_mul(P, r2, f2_sub(P, V, X3)),
-                    f2_dbl(P, f2_mul(P, p.Y, J)));
-    F2v Z3 = f2_sub(P, f2_sub(P, f2_sq(P, f2_add(P, p.Z, H)), Z1Z1), HH);
+    F2v<L> HH = f2_sq(P, H);
+    F2v<L> I = f2_dbl(P, f2_dbl(P, HH));
+    F2v<L> J = f2_mul(P, H, I);
+    F2v<L> r2 = f2_dbl(P, Rv);
+    F2v<L> V = f2_mul(P, p.X, I);
+    F2v<L> X3 = f2_sub(P, f2_sub(P, f2_sq(P, r2), J), f2_dbl(P, V));
+    F2v<L> Y3 = f2_sub(P, f2_mul(P, r2, f2_sub(P, V, X3)),
+                       f2_dbl(P, f2_mul(P, p.Y, J)));
+    F2v<L> Z3 = f2_sub(P, f2_sub(P, f2_sq(P, f2_add(P, p.Z, H)), Z1Z1), HH);
     __mmask8 take_q = (__mmask8)(p.inf & ~q_inf);
     __mmask8 upd = (__mmask8)(active & ~slow);
     p.X = f2_select(upd, p.X, X3);
@@ -947,19 +957,18 @@ static void fixed_batch_impl(const Point<FF> &base, const u64 *scalars,
 
 #ifdef HAVE_MONT52
 
-// 8-lane IFMA fixed-base batch for a 4-limb curve (G1).  `store` converts
-// a scalar Jacobian point to the output wire format.
-template <int NL, const FieldParams<NL>* FP, typename FQ>
+// 8-lane IFMA fixed-base batch (G1).  `store` converts a scalar Jacobian
+// point to the output wire format.  NL = 64-bit limbs of the base field,
+// L = 52-bit limbs of the vector form.
+template <int NL, const FieldParams<NL>* FP, typename FQ, int L>
 static void fixed_batch_ifma(const Point<FQ>& base, const u64* scalars,
                              u64 n, int sbits,
                              void (*store)(const Point<FQ>&, u64*), u64* out,
                              int out_stride) {
     using namespace m52;
-    static_assert(NL == 4, "IFMA path is 4-limb only");
     const int W = 8;
     const int NW = (sbits + W - 1) / W;
 
-    // scalar Jacobian table (as in fixed_batch_impl), then affine
     std::vector<Point<FQ>> table((size_t)NW << W);
     Point<FQ> cur = base;
     for (int w = 0; w < NW; ++w) {
@@ -971,40 +980,54 @@ static void fixed_batch_ifma(const Point<FQ>& base, const u64* scalars,
     std::vector<AffPt<FQ>> atable;
     pt_batch_to_affine<FQ>(table, atable);
 
-    M52Params P;
-    m52_init(P, FP->P);
-    Fv mont_one;
+    M52Params<L> P;
+    m52_init<NL, L>(P, FP->P);
+    Fv<L> mont_one;
     {
-        u64 one_v[4] = {1, 0, 0, 0};
-        u64 o52[5];
-        to_mont52_value<NL, FP>(one_v, o52);
-        for (int i = 0; i < 5; i++)
+        u64 one_v[NL] = {1};
+        u64 o52[L];
+        to_mont52_value<NL, FP, L>(one_v, o52);
+        for (int i = 0; i < L; i++)
             mont_one.l[i] = _mm512_set1_epi64((long long)o52[i]);
     }
 
-    // mont52 copy of the affine table: [entry][X5 | Y5], infinities zeroed
+    // mont52 copy of the affine table: [entry][X(L) | Y(L)]
     size_t n_ent = atable.size();
-    std::vector<u64> t52(n_ent * 10, 0);
+    std::vector<u64> t52(n_ent * 2 * L, 0);
     for (size_t e = 0; e < n_ent; e++) {
         if (atable[e].inf) continue;
         auto xv = FQ::from_mont(atable[e].X);
         auto yv = FQ::from_mont(atable[e].Y);
-        to_mont52_value<NL, FP>(xv.v, &t52[e * 10]);
-        to_mont52_value<NL, FP>(yv.v, &t52[e * 10 + 5]);
+        to_mont52_value<NL, FP, L>(xv.v, &t52[e * 2 * L]);
+        to_mont52_value<NL, FP, L>(yv.v, &t52[e * 2 * L + L]);
     }
 
-    // group results: Jacobian value-space coords [n][12] (X4 Y4 Z4)
-    std::vector<u64> jac((size_t)n * 12, 0);
+    // group results: Jacobian value-space coords [n][3*NL]
+    std::vector<u64> jac((size_t)n * 3 * NL, 0);
     std::vector<unsigned char> jinf(n, 0);
+    u64 one_raw[L] = {1};
 
-    u64 one_raw[5] = {1, 0, 0, 0, 0};
+    auto scalar_one = [&](size_t i) {
+        const u64* s = scalars + 4 * i;
+        Point<FQ> a;
+        a.inf = true;
+        for (int w = 0; w < NW; ++w) {
+            int shift = w * W;
+            u64 v = s[shift / 64] >> (shift % 64);
+            if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
+                v |= s[shift / 64 + 1] << (64 - shift % 64);
+            v &= ((1 << W) - 1);
+            if (v) a = pt_madd(a, atable[((size_t)w << W) + v]);
+        }
+        store(a, out + out_stride * i);
+    };
 
     size_t g0 = 0;
     for (; g0 + 8 <= n; g0 += 8) {
-        VPt acc;
-        acc.X = f_zero();
-        acc.Y = f_zero();
-        acc.Z = f_zero();
+        VPt<L> acc;
+        acc.X = f_zero<L>();
+        acc.Y = f_zero<L>();
+        acc.Z = f_zero<L>();
         acc.inf = 0xFF;
         __mmask8 slow_any = 0;
         for (int w = 0; w < NW; ++w) {
@@ -1023,66 +1046,38 @@ static void fixed_batch_ifma(const Point<FQ>& base, const u64* scalars,
             for (int l = 0; l < 8; l++)
                 if ((idx[l] & 0xFF) == 0 || atable[idx[l]].inf)
                     q_inf |= (__mmask8)(1 << l);
-            __m512i base10 = _mm512_mullo_epi64(iv, _mm512_set1_epi64(10));
-            Fv qx, qy;
-            for (int i = 0; i < 5; i++) {
+            __m512i baseo = _mm512_mullo_epi64(iv,
+                                               _mm512_set1_epi64(2 * L));
+            Fv<L> qx, qy;
+            for (int i = 0; i < L; i++) {
                 qx.l[i] = _mm512_i64gather_epi64(
-                    _mm512_add_epi64(base10, _mm512_set1_epi64(i)),
+                    _mm512_add_epi64(baseo, _mm512_set1_epi64(i)),
                     (const long long*)t52.data(), 8);
                 qy.l[i] = _mm512_i64gather_epi64(
-                    _mm512_add_epi64(base10, _mm512_set1_epi64(5 + i)),
+                    _mm512_add_epi64(baseo, _mm512_set1_epi64(L + i)),
                     (const long long*)t52.data(), 8);
             }
-            slow_any |= v_madd(P, acc, qx, qy, q_inf, mont_one);
+            slow_any |= v_madd<L>(P, acc, qx, qy, q_inf, mont_one);
         }
         if (slow_any) {
-            // rare: redo the whole group with the scalar kernel
-            for (int l = 0; l < 8; l++) {
-                const u64* s = scalars + 4 * (g0 + l);
-                Point<FQ> a;
-                a.inf = true;
-                for (int w = 0; w < NW; ++w) {
-                    int shift = w * W;
-                    u64 v = s[shift / 64] >> (shift % 64);
-                    if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
-                        v |= s[shift / 64 + 1] << (64 - shift % 64);
-                    v &= ((1 << W) - 1);
-                    if (v) a = pt_madd(a, atable[((size_t)w << W) + v]);
-                }
-                store(a, out + out_stride * (g0 + l));
-            }
-            jinf[g0] = 2;  // marker: already stored
+            for (int l = 0; l < 8; l++) scalar_one(g0 + l);
             for (int l = 0; l < 8; l++) jinf[g0 + l] = 2;
             continue;
         }
-        // convert mont52 -> value space and stash Jacobian coords
-        Fv xv = f_mul_const(P, acc.X, one_raw);
-        Fv yv = f_mul_const(P, acc.Y, one_raw);
-        Fv zv = f_mul_const(P, acc.Z, one_raw);
-        store_4x64(P, xv, &jac[g0 * 12], 12);
-        store_4x64(P, yv, &jac[g0 * 12 + 4], 12);
-        store_4x64(P, zv, &jac[g0 * 12 + 8], 12);
+        Fv<L> xv = f_mul_const(P, acc.X, one_raw);
+        Fv<L> yv = f_mul_const(P, acc.Y, one_raw);
+        Fv<L> zv = f_mul_const(P, acc.Z, one_raw);
+        store_4x64<NL, L>(P, xv, &jac[g0 * 3 * NL], 3 * NL);
+        store_4x64<NL, L>(P, yv, &jac[g0 * 3 * NL + NL], 3 * NL);
+        store_4x64<NL, L>(P, zv, &jac[g0 * 3 * NL + 2 * NL], 3 * NL);
         for (int l = 0; l < 8; l++)
             jinf[g0 + l] = (acc.inf >> l) & 1;
     }
-    // tail: scalar path
     for (size_t i = g0; i < n; i++) {
-        const u64* s = scalars + 4 * i;
-        Point<FQ> a;
-        a.inf = true;
-        for (int w = 0; w < NW; ++w) {
-            int shift = w * W;
-            u64 v = s[shift / 64] >> (shift % 64);
-            if (shift % 64 + W > 64 && shift / 64 + 1 < 4)
-                v |= s[shift / 64 + 1] << (64 - shift % 64);
-            v &= ((1 << W) - 1);
-            if (v) a = pt_madd(a, atable[((size_t)w << W) + v]);
-        }
-        store(a, out + out_stride * i);
+        scalar_one(i);
         jinf[i] = 2;
     }
-    // finalize the vector groups: rebuild scalar-Montgomery Jacobians and
-    // write affine outputs with ONE batched inversion for all Z coords
+    // finalize: rebuild scalar-Montgomery Jacobians; ONE batched inversion
     std::vector<size_t> live;
     std::vector<Point<FQ>> lp;
     live.reserve(n);
@@ -1095,9 +1090,9 @@ static void fixed_batch_ifma(const Point<FQ>& base, const u64* scalars,
             continue;
         }
         typename FQ::T x, y, z;
-        memcpy(x.v, &jac[i * 12], 32);
-        memcpy(y.v, &jac[i * 12 + 4], 32);
-        memcpy(z.v, &jac[i * 12 + 8], 32);
+        memcpy(x.v, &jac[i * 3 * NL], NL * 8);
+        memcpy(y.v, &jac[i * 3 * NL + NL], NL * 8);
+        memcpy(z.v, &jac[i * 3 * NL + 2 * NL], NL * 8);
         Point<FQ> p;
         p.X = FQ::to_mont(x);
         p.Y = FQ::to_mont(y);
@@ -1114,21 +1109,21 @@ static void fixed_batch_ifma(const Point<FQ>& base, const u64* scalars,
             memset(xy, 0, 2 * NL * 8);
             continue;
         }
-        auto xv = FQ::from_mont(laff[k].X);
-        auto yv = FQ::from_mont(laff[k].Y);
-        memcpy(xy, xv.v, NL * 8);
-        memcpy(xy + NL, yv.v, NL * 8);
+        auto xv2 = FQ::from_mont(laff[k].X);
+        auto yv2 = FQ::from_mont(laff[k].Y);
+        memcpy(xy, xv2.v, NL * 8);
+        memcpy(xy + NL, yv2.v, NL * 8);
     }
 }
 
-// 8-lane IFMA fixed-base batch for G2 over a 4-limb base field
-template <int NL, const FieldParams<NL>* FP, typename FQ, typename F2Q>
+// 8-lane IFMA fixed-base batch for G2
+template <int NL, const FieldParams<NL>* FP, typename FQ, typename F2Q,
+          int L>
 static void fixed_batch_ifma_g2(const Point<F2Q>& base, const u64* scalars,
                                 u64 n, int sbits,
                                 void (*store)(const Point<F2Q>&, u64*),
                                 u64* out, int out_stride) {
     using namespace m52;
-    static_assert(NL == 4, "IFMA path is 4-limb only");
     const int W = 8;
     const int NW = (sbits + W - 1) / W;
 
@@ -1143,36 +1138,36 @@ static void fixed_batch_ifma_g2(const Point<F2Q>& base, const u64* scalars,
     std::vector<AffPt<F2Q>> atable;
     pt_batch_to_affine<F2Q>(table, atable);
 
-    M52Params P;
-    m52_init(P, FP->P);
-    F2v mont_one;
+    M52Params<L> P;
+    m52_init<NL, L>(P, FP->P);
+    F2v<L> mont_one;
     {
-        u64 one_v[4] = {1, 0, 0, 0};
-        u64 o52[5];
-        to_mont52_value<NL, FP>(one_v, o52);
-        for (int i = 0; i < 5; i++)
+        u64 one_v[NL] = {1};
+        u64 o52[L];
+        to_mont52_value<NL, FP, L>(one_v, o52);
+        for (int i = 0; i < L; i++)
             mont_one.c0.l[i] = _mm512_set1_epi64((long long)o52[i]);
-        mont_one.c1 = f_zero();
+        mont_one.c1 = f_zero<L>();
     }
 
-    // mont52 table: [entry][x0 x1 y0 y1], 5 u64 each -> stride 20
+    // mont52 table: [entry][x0 x1 y0 y1], L u64 each -> stride 4L
     size_t n_ent = atable.size();
-    std::vector<u64> t52(n_ent * 20, 0);
+    std::vector<u64> t52(n_ent * 4 * L, 0);
     for (size_t e = 0; e < n_ent; e++) {
         if (atable[e].inf) continue;
         auto x0 = FQ::from_mont(atable[e].X.c0);
         auto x1 = FQ::from_mont(atable[e].X.c1);
         auto y0 = FQ::from_mont(atable[e].Y.c0);
         auto y1 = FQ::from_mont(atable[e].Y.c1);
-        to_mont52_value<NL, FP>(x0.v, &t52[e * 20]);
-        to_mont52_value<NL, FP>(x1.v, &t52[e * 20 + 5]);
-        to_mont52_value<NL, FP>(y0.v, &t52[e * 20 + 10]);
-        to_mont52_value<NL, FP>(y1.v, &t52[e * 20 + 15]);
+        to_mont52_value<NL, FP, L>(x0.v, &t52[e * 4 * L]);
+        to_mont52_value<NL, FP, L>(x1.v, &t52[e * 4 * L + L]);
+        to_mont52_value<NL, FP, L>(y0.v, &t52[e * 4 * L + 2 * L]);
+        to_mont52_value<NL, FP, L>(y1.v, &t52[e * 4 * L + 3 * L]);
     }
 
-    std::vector<u64> jac((size_t)n * 24, 0);  // X(2x4) Y(2x4) Z(2x4) values
+    std::vector<u64> jac((size_t)n * 6 * NL, 0);  // X,Y,Z each 2xNL values
     std::vector<unsigned char> jinf(n, 0);
-    u64 one_raw[5] = {1, 0, 0, 0, 0};
+    u64 one_raw[L] = {1};
 
     auto scalar_one = [&](size_t i) {
         const u64* s = scalars + 4 * i;
@@ -1191,10 +1186,10 @@ static void fixed_batch_ifma_g2(const Point<F2Q>& base, const u64* scalars,
 
     size_t g0 = 0;
     for (; g0 + 8 <= n; g0 += 8) {
-        VPt2 acc;
-        acc.X = f2_zero();
-        acc.Y = f2_zero();
-        acc.Z = f2_zero();
+        VPt2<L> acc;
+        acc.X = f2_zero<L>();
+        acc.Y = f2_zero<L>();
+        acc.Z = f2_zero<L>();
         acc.inf = 0xFF;
         __mmask8 slow_any = 0;
         for (int w = 0; w < NW; ++w) {
@@ -1213,42 +1208,43 @@ static void fixed_batch_ifma_g2(const Point<F2Q>& base, const u64* scalars,
             for (int l = 0; l < 8; l++)
                 if ((idx[l] & 0xFF) == 0 || atable[idx[l]].inf)
                     q_inf |= (__mmask8)(1 << l);
-            __m512i base20 = _mm512_mullo_epi64(iv, _mm512_set1_epi64(20));
-            F2v qx, qy;
-            for (int i = 0; i < 5; i++) {
+            __m512i baseo = _mm512_mullo_epi64(iv,
+                                               _mm512_set1_epi64(4 * L));
+            F2v<L> qx, qy;
+            for (int i = 0; i < L; i++) {
                 qx.c0.l[i] = _mm512_i64gather_epi64(
-                    _mm512_add_epi64(base20, _mm512_set1_epi64(i)),
+                    _mm512_add_epi64(baseo, _mm512_set1_epi64(i)),
                     (const long long*)t52.data(), 8);
                 qx.c1.l[i] = _mm512_i64gather_epi64(
-                    _mm512_add_epi64(base20, _mm512_set1_epi64(5 + i)),
+                    _mm512_add_epi64(baseo, _mm512_set1_epi64(L + i)),
                     (const long long*)t52.data(), 8);
                 qy.c0.l[i] = _mm512_i64gather_epi64(
-                    _mm512_add_epi64(base20, _mm512_set1_epi64(10 + i)),
+                    _mm512_add_epi64(baseo, _mm512_set1_epi64(2 * L + i)),
                     (const long long*)t52.data(), 8);
                 qy.c1.l[i] = _mm512_i64gather_epi64(
-                    _mm512_add_epi64(base20, _mm512_set1_epi64(15 + i)),
+                    _mm512_add_epi64(baseo, _mm512_set1_epi64(3 * L + i)),
                     (const long long*)t52.data(), 8);
             }
-            slow_any |= v2_madd(P, acc, qx, qy, q_inf, mont_one);
+            slow_any |= v2_madd<L>(P, acc, qx, qy, q_inf, mont_one);
         }
         if (slow_any) {
             for (int l = 0; l < 8; l++) scalar_one(g0 + l);
             for (int l = 0; l < 8; l++) jinf[g0 + l] = 2;
             continue;
         }
-        m52::Fv c;
+        Fv<L> c;
         c = f_mul_const(P, acc.X.c0, one_raw);
-        store_4x64(P, c, &jac[g0 * 24], 24);
+        store_4x64<NL, L>(P, c, &jac[g0 * 6 * NL], 6 * NL);
         c = f_mul_const(P, acc.X.c1, one_raw);
-        store_4x64(P, c, &jac[g0 * 24 + 4], 24);
+        store_4x64<NL, L>(P, c, &jac[g0 * 6 * NL + NL], 6 * NL);
         c = f_mul_const(P, acc.Y.c0, one_raw);
-        store_4x64(P, c, &jac[g0 * 24 + 8], 24);
+        store_4x64<NL, L>(P, c, &jac[g0 * 6 * NL + 2 * NL], 6 * NL);
         c = f_mul_const(P, acc.Y.c1, one_raw);
-        store_4x64(P, c, &jac[g0 * 24 + 12], 24);
+        store_4x64<NL, L>(P, c, &jac[g0 * 6 * NL + 3 * NL], 6 * NL);
         c = f_mul_const(P, acc.Z.c0, one_raw);
-        store_4x64(P, c, &jac[g0 * 24 + 16], 24);
+        store_4x64<NL, L>(P, c, &jac[g0 * 6 * NL + 4 * NL], 6 * NL);
         c = f_mul_const(P, acc.Z.c1, one_raw);
-        store_4x64(P, c, &jac[g0 * 24 + 20], 24);
+        store_4x64<NL, L>(P, c, &jac[g0 * 6 * NL + 5 * NL], 6 * NL);
         for (int l = 0; l < 8; l++)
             jinf[g0 + l] = (acc.inf >> l) & 1;
     }
@@ -1269,17 +1265,17 @@ static void fixed_batch_ifma_g2(const Point<F2Q>& base, const u64* scalars,
         }
         Point<F2Q> p;
         typename FQ::T t;
-        memcpy(t.v, &jac[i * 24], 32);
+        memcpy(t.v, &jac[i * 6 * NL], NL * 8);
         p.X.c0 = FQ::to_mont(t);
-        memcpy(t.v, &jac[i * 24 + 4], 32);
+        memcpy(t.v, &jac[i * 6 * NL + NL], NL * 8);
         p.X.c1 = FQ::to_mont(t);
-        memcpy(t.v, &jac[i * 24 + 8], 32);
+        memcpy(t.v, &jac[i * 6 * NL + 2 * NL], NL * 8);
         p.Y.c0 = FQ::to_mont(t);
-        memcpy(t.v, &jac[i * 24 + 12], 32);
+        memcpy(t.v, &jac[i * 6 * NL + 3 * NL], NL * 8);
         p.Y.c1 = FQ::to_mont(t);
-        memcpy(t.v, &jac[i * 24 + 16], 32);
+        memcpy(t.v, &jac[i * 6 * NL + 4 * NL], NL * 8);
         p.Z.c0 = FQ::to_mont(t);
-        memcpy(t.v, &jac[i * 24 + 20], 32);
+        memcpy(t.v, &jac[i * 6 * NL + 5 * NL], NL * 8);
         p.Z.c1 = FQ::to_mont(t);
         p.inf = false;
         live.push_back(i);
@@ -1376,8 +1372,8 @@ void bn254_g1_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
                           u64 *out) {
 #ifdef HAVE_MONT52
     if (have_ifma_ec() && n >= 64) {
-        fixed_batch_ifma<4, &BN_FQ, BNQ>(bn_l1(base), scalars, n, 254,
-                                         bn_g1_store, out, 8);
+        fixed_batch_ifma<4, &BN_FQ, BNQ, 5>(bn_l1(base), scalars, n, 254,
+                                            bn_g1_store, out, 8);
         return;
     }
 #endif
@@ -1387,14 +1383,47 @@ void bn254_g2_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
                           u64 *out) {
 #ifdef HAVE_MONT52
     if (have_ifma_ec() && n >= 64) {
-        fixed_batch_ifma_g2<4, &BN_FQ, BNQ, BNQ2>(
+        fixed_batch_ifma_g2<4, &BN_FQ, BNQ, BNQ2, 5>(
             bn_l2(base), scalars, n, 254, bn_g2_store, out, 16);
         return;
     }
 #endif
     bn254_generic_g2_fixed_batch(base, scalars, n, out);
 }
-MSM_FN(bls12381, 6, BLSQ, BLSQ2, bls_l1, bls_l2, bls_g1_store, bls_g2_store, 255)
+MSM_FN(bls12381_generic, 6, BLSQ, BLSQ2, bls_l1, bls_l2, bls_g1_store, bls_g2_store, 255)
+
+// BLS12-381 public entry points: fixed-base takes the 8-lane IFMA kernel
+// (8x52-limb field form) when available
+void bls12381_g1_msm(const u64 *points, const u64 *scalars, u64 n,
+                     u64 *out) {
+    bls12381_generic_g1_msm(points, scalars, n, out);
+}
+void bls12381_g2_msm(const u64 *points, const u64 *scalars, u64 n,
+                     u64 *out) {
+    bls12381_generic_g2_msm(points, scalars, n, out);
+}
+void bls12381_g1_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
+                             u64 *out) {
+#ifdef HAVE_MONT52
+    if (have_ifma_ec() && n >= 64) {
+        fixed_batch_ifma<6, &BLS_FQ, BLSQ, 8>(bls_l1(base), scalars, n, 255,
+                                              bls_g1_store, out, 12);
+        return;
+    }
+#endif
+    bls12381_generic_g1_fixed_batch(base, scalars, n, out);
+}
+void bls12381_g2_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
+                             u64 *out) {
+#ifdef HAVE_MONT52
+    if (have_ifma_ec() && n >= 64) {
+        fixed_batch_ifma_g2<6, &BLS_FQ, BLSQ, BLSQ2, 8>(
+            bls_l2(base), scalars, n, 255, bls_g2_store, out, 24);
+        return;
+    }
+#endif
+    bls12381_generic_g2_fixed_batch(base, scalars, n, out);
+}
 
 }  // extern "C"
 
