@@ -66,23 +66,31 @@ def log(stage, t0, **kw):
           f"({time.time() - t0:.1f}s) {kw}", flush=True)
 
 
-def main(out_dir="/tmp/full_chain", curve_name="bn128"):
+def main(out_dir="/tmp/full_chain", curve_name="bn128", base=None):
+    """`base`: optional (zkin0, setup0, base_ss) from an externally proven
+    L0 (e.g. scripts/northstar_demo.py's 2^23-row AIR); defaults to the
+    reference fibonacci fixture."""
     os.makedirs(out_dir, exist_ok=True)
     total0 = time.time()
 
     # L0: base trace proof
     t0 = time.time()
-    pil = load_pil(D + "fib.pil.json.gl")
-    base_ss = StarkStruct(nBits=10, nBitsExt=11, nQueries=N_QUERIES,
-                          verificationHashType="GL",
-                          steps=[Step(11), Step(5)])
-    const_pols = PolsArray(pil, PolsArray.CONSTANT).load(D + "fib.const.gl")
-    cm_pols = PolsArray(pil, PolsArray.COMMIT).load(D + "fib.cm.gl")
-    setup0 = StarkSetup(const_pols, pil, base_ss)
-    proof0 = stark_gen(cm_pols, const_pols, setup0.const_tree,
-                       setup0.starkinfo, setup0.program, base_ss)
-    zkin0 = stark_proof_to_dict(proof0, "GL")
-    log("L0 base eSTARK", t0, publics=zkin0["publics"])
+    if base is not None:
+        zkin0, setup0, base_ss = base
+        log("L0 base eSTARK (external)", t0, publics=zkin0["publics"])
+    else:
+        pil = load_pil(D + "fib.pil.json.gl")
+        base_ss = StarkStruct(nBits=10, nBitsExt=11, nQueries=N_QUERIES,
+                              verificationHashType="GL",
+                              steps=[Step(11), Step(5)])
+        const_pols = PolsArray(pil, PolsArray.CONSTANT).load(
+            D + "fib.const.gl")
+        cm_pols = PolsArray(pil, PolsArray.COMMIT).load(D + "fib.cm.gl")
+        setup0 = StarkSetup(const_pols, pil, base_ss)
+        proof0 = stark_gen(cm_pols, const_pols, setup0.const_tree,
+                           setup0.starkinfo, setup0.program, base_ss)
+        zkin0 = stark_proof_to_dict(proof0, "GL")
+        log("L0 base eSTARK", t0, publics=zkin0["publics"])
 
     # L1: c12
     t0 = time.time()
