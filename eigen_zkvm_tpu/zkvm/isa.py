@@ -21,7 +21,7 @@ from __future__ import annotations
 from dataclasses import dataclass
 
 OPS = ("add", "sub", "mul", "addi", "beq", "bne", "blt", "jal", "jalr",
-       "in", "halt", "lw", "sw")
+       "in", "halt", "lw", "sw", "mulh", "and", "or", "xor")
 N_REGS = 16
 WORD = 1 << 32
 
@@ -69,7 +69,7 @@ def assemble(src: str) -> list[Instr]:
         def imm_or_label(tok):
             return labels[tok] if tok in labels else int(tok, 0)
 
-        if op in ("add", "sub", "mul"):
+        if op in ("add", "sub", "mul", "mulh", "and", "or", "xor"):
             prog.append(Instr(op, _reg(args[0]), _reg(args[1]),
                               _reg(args[2])))
         elif op == "addi":
@@ -145,6 +145,14 @@ def execute(prog: list[Instr], inputs: list[int], max_cycles: int = 1 << 20,
             val = (a - b2) % WORD
         elif ins.op == "mul":
             val = (a * b2) % WORD
+        elif ins.op == "mulh":
+            val = (a * b2) // WORD
+        elif ins.op == "and":
+            val = a & b2
+        elif ins.op == "or":
+            val = a | b2
+        elif ins.op == "xor":
+            val = a ^ b2
         elif ins.op == "addi":
             val = (a + ins.imm) % WORD
         elif ins.op == "beq":

@@ -41,6 +41,10 @@ class MiniRVMachine:
         assert len(program) <= self.N
         self.tape_size = tape_size if tape_size is not None else self.N // 4
         self.has_mem = any(i.op in ("lw", "sw") for i in program)
+        self.has_mulh = any(i.op == "mulh" for i in program)
+        self.has_bitwise = any(i.op in ("and", "or", "xor") for i in program)
+        if self.has_bitwise:
+            assert self.N >= 1024, "bitwise ops need the 768-row nibble table"
         self._build_pil()
 
     def _build_pil(self):
@@ -64,6 +68,14 @@ class MiniRVMachine:
         self.c_tape_val = p.const_pol("Zkvm.TAPE_VAL")
         if self.has_mem:
             self.c_line = p.const_pol("Zkvm.LINE")
+        if self.has_bitwise:
+            # nibble-pair op table: 768 rows of (tag, a, b, out) with
+            # tag 0=and 1=or 2=xor (requires N >= 1024)
+            self.c_nib_on = p.const_pol("Zkvm.NIB_ON")
+            self.c_nib_tag = p.const_pol("Zkvm.NIB_TAG")
+            self.c_nib_a = p.const_pol("Zkvm.NIB_A")
+            self.c_nib_b = p.const_pol("Zkvm.NIB_B")
+            self.c_nib_out = p.const_pol("Zkvm.NIB_OUT")
 
         # commits
         self.m_pc = p.cm_pol("Zkvm.pc")
@@ -85,6 +97,13 @@ class MiniRVMachine:
         self.m_bytes_rd = p.cm_pol("Zkvm.bytes_rd", 4)
         self.m_bytes_hi = p.cm_pol("Zkvm.bytes_hi", 4)
         self.m_bytes_lt = p.cm_pol("Zkvm.bytes_lt", 4)
+        if self.has_mulh:
+            self.m_mlo = p.cm_pol("Zkvm.mlo")
+            self.m_bytes_mlo = p.cm_pol("Zkvm.bytes_mlo", 4)
+        if self.has_bitwise:
+            self.m_na = p.cm_pol("Zkvm.na", 8)
+            self.m_nb = p.cm_pol("Zkvm.nb", 8)
+            self.m_no = p.cm_pol("Zkvm.no", 8)
         if self.has_mem:
             # execution side of the RAM argument
             self.m_addr = p.cm_pol("Zkvm.addr")
@@ -156,6 +175,36 @@ class MiniRVMachine:
         prod = p.intermediate(p.mul(rs1v, rs2v))
         p.identity(p.mul(sel["mul"], p.sub(prod, p.add(rdv, p.smul(W32, hi)))),
                    "zkvm.pil", 10)
+        if self.has_mulh:
+            # mulh: prod = mlo + 2^32 * rdv, with mlo byte-ranged
+            mlo = cm(self.m_mlo)
+            p.identity(p.mul(sel["mulh"],
+                             p.sub(prod, p.add(mlo, p.smul(W32, rdv)))),
+                       "zkvm.pil", 25)
+            mlo_bytes = p.lin([(1 << (8 * k), cm(self.m_bytes_mlo + k))
+                               for k in range(4)])
+            p.identity(p.sub(mlo, mlo_bytes), "zkvm.pil", 26)
+            for k in range(4):
+                p.plookup(f=[cm(self.m_bytes_mlo + k)],
+                          t=[const(self.c_byte)], file_name="zkvm.pil",
+                          line=27)
+        if self.has_bitwise:
+            # nibble decomposition bound to the operand/result values on
+            # bitwise rows; range + semantics come from the table lookups
+            is_bw = p.lin([(1, sel["and"]), (1, sel["or"]),
+                           (1, sel["xor"])])
+            tag = p.lin([(1, sel["or"]), (2, sel["xor"])])
+            for val, base in ((rs1v, self.m_na), (rs2v, self.m_nb),
+                              (rdv, self.m_no)):
+                nib = p.lin([(1 << (4 * k), cm(base + k)) for k in range(8)])
+                p.identity(p.mul(is_bw, p.sub(val, nib)), "zkvm.pil", 28)
+            for k in range(8):
+                p.plookup(f=[tag, cm(self.m_na + k), cm(self.m_nb + k),
+                             cm(self.m_no + k)],
+                          t=[const(self.c_nib_tag), const(self.c_nib_a),
+                             const(self.c_nib_b), const(self.c_nib_out)],
+                          sel_f=is_bw, sel_t=const(self.c_nib_on),
+                          file_name="zkvm.pil", line=29)
         p.identity(p.mul(p.add(sel["jal"], sel["jalr"]),
                          p.sub(rdv, p.add(pc, num(1)))), "zkvm.pil", 11)
 
@@ -320,7 +369,8 @@ class MiniRVMachine:
             buf[j, self.c_rom_sel + op_index[ins.op]] = 1
             buf[j, self.c_rom_imm] = ins.imm
             writes = ins.op in ("add", "sub", "mul", "addi", "jal", "jalr",
-                                "in", "lw") and ins.rd != 0
+                                "in", "lw", "mulh", "and", "or",
+                                "xor") and ins.rd != 0
             if writes:
                 buf[j, self.c_rom_rd + ins.rd] = 1
             buf[j, self.c_rom_rs1 + ins.rs1] = 1
@@ -328,6 +378,18 @@ class MiniRVMachine:
         buf[: self.tape_size, self.c_tape_on] = 1
         buf[: self.tape_size, self.c_tape_idx] = np.arange(
             self.tape_size, dtype=np.uint64)
+        if self.has_bitwise:
+            row = 0
+            for tag, fn in ((0, lambda a, b: a & b), (1, lambda a, b: a | b),
+                            (2, lambda a, b: a ^ b)):
+                for a in range(16):
+                    for b in range(16):
+                        buf[row, self.c_nib_on] = 1
+                        buf[row, self.c_nib_tag] = tag
+                        buf[row, self.c_nib_a] = a
+                        buf[row, self.c_nib_b] = b
+                        buf[row, self.c_nib_out] = fn(a, b)
+                        row += 1
         return cp
 
     def set_tape(self, inputs: list[int]):
@@ -368,7 +430,8 @@ class MiniRVMachine:
             buf[i, self.m_sel + op_index[ins.op]] = 1
             buf[i, self.m_imm] = ins.imm
             writes = ins.op in ("add", "sub", "mul", "addi", "jal", "jalr",
-                                "in", "lw") and ins.rd != 0
+                                "in", "lw", "mulh", "and", "or",
+                                "xor") and ins.rd != 0
             if writes:
                 buf[i, self.m_rd1h + ins.rd] = 1
             buf[i, self.m_rs11h + ins.rs1] = 1
@@ -391,6 +454,20 @@ class MiniRVMachine:
             elif ins.op == "mul":
                 prod = a * b
                 rdv, hi = prod % WORD, prod // WORD
+            elif ins.op == "mulh":
+                prod = a * b
+                rdv = prod // WORD
+                mlo = prod % WORD
+                buf[i, self.m_mlo] = mlo
+                for k in range(4):
+                    buf[i, self.m_bytes_mlo + k] = (mlo >> (8 * k)) & 0xFF
+            elif ins.op in ("and", "or", "xor"):
+                rdv = a & b if ins.op == "and" else \
+                    (a | b if ins.op == "or" else a ^ b)
+                for k in range(8):
+                    buf[i, self.m_na + k] = (a >> (4 * k)) & 0xF
+                    buf[i, self.m_nb + k] = (b >> (4 * k)) & 0xF
+                    buf[i, self.m_no + k] = (rdv >> (4 * k)) & 0xF
             elif ins.op in ("jal", "jalr"):
                 rdv = st.pc + 1
             elif ins.op == "in":

@@ -76,3 +76,57 @@ def test_ram_multi_chunk_rejected():
     fake = [states[0]] * machine.N
     with pytest.raises(NotImplementedError):
         machine.trace(fake, [4, 1, 2, 3, 4])
+
+
+BITWISE_GUEST = """
+    in   x1
+    in   x2
+    and  x3, x1, x2
+    or   x4, x1, x2
+    xor  x5, x1, x2
+    mulh x6, x1, x2
+    halt
+"""
+
+
+def test_bitwise_mulh_proof():
+    a, b = 0xDEADBEEF, 0x12345678
+    proofs, pubs, *_ = zkvm_execute_and_prove(BITWISE_GUEST, [a, b],
+                                              n_bits=10)
+    assert pubs[-1]["x3_out"] == a & b
+    assert pubs[-1]["x4_out"] == a | b
+    assert pubs[-1]["x5_out"] == a ^ b
+    assert pubs[-1]["x6_out"] == (a * b) >> 32
+
+
+def test_tampered_bitwise_rejected():
+    """A wrong AND result must fail the nibble-table lookup."""
+    from eigen_zkvm_tpu.stark.stark_gen import stark_gen
+    from eigen_zkvm_tpu.stark.stark_setup import StarkSetup
+    from eigen_zkvm_tpu.stark.stark_verify import stark_verify
+
+    a, b = 0xF0F0A5A5, 0x0FF055AA
+    prog = isa.assemble(BITWISE_GUEST)
+    machine = MiniRVMachine(prog, n_bits=10)
+    machine.set_tape([a, b])
+    states, _ = isa.execute(prog, [a, b])
+    cm = machine.trace(states, [a, b])
+    and_row = 2  # third instruction
+    cm.buffer[and_row, machine.m_no] ^= 1  # flip one result nibble bit
+    cm.buffer[and_row, machine.m_rdv] ^= 1
+    for k in range(4):
+        cm.buffer[and_row, machine.m_bytes_rd + k] = \
+            (int(cm.buffer[and_row, machine.m_rdv]) >> (8 * k)) & 0xFF
+    from eigen_zkvm_tpu.zkvm.lib import default_struct
+
+    ss = default_struct(10, n_queries=8)
+    setup = StarkSetup(machine.const_pols, machine.pil, ss)
+    ok = True
+    try:
+        proof = stark_gen(cm, machine.const_pols, setup.const_tree,
+                          setup.starkinfo, setup.program, ss)
+        ok = stark_verify(proof, setup.const_root, setup.starkinfo, ss,
+                          setup.program)
+    except Exception:
+        ok = False
+    assert not ok, "tampered AND produced a verifying proof"
