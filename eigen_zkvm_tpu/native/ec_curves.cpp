@@ -966,6 +966,8 @@ static void fixed_batch_ifma(const Point<FQ>& base, const u64* scalars,
                              void (*store)(const Point<FQ>&, u64*), u64* out,
                              int out_stride) {
     using namespace m52;
+    // 8-bit windows: the ~0.6 MB affine table stays L2-resident — wider
+    // windows save mixed adds but lose more to table-gather cache misses
     const int W = 8;
     const int NW = (sbits + W - 1) / W;
 
@@ -1044,7 +1046,7 @@ static void fixed_batch_ifma(const Point<FQ>& base, const u64* scalars,
             __m512i iv = _mm512_load_si512(idx);
             __mmask8 q_inf = 0;
             for (int l = 0; l < 8; l++)
-                if ((idx[l] & 0xFF) == 0 || atable[idx[l]].inf)
+                if ((idx[l] & ((1 << W) - 1)) == 0 || atable[idx[l]].inf)
                     q_inf |= (__mmask8)(1 << l);
             __m512i baseo = _mm512_mullo_epi64(iv,
                                                _mm512_set1_epi64(2 * L));
@@ -1124,7 +1126,7 @@ static void fixed_batch_ifma_g2(const Point<F2Q>& base, const u64* scalars,
                                 void (*store)(const Point<F2Q>&, u64*),
                                 u64* out, int out_stride) {
     using namespace m52;
-    const int W = 8;
+    const int W = 8;  // see the G1 note: larger tables gather-thrash
     const int NW = (sbits + W - 1) / W;
 
     std::vector<Point<F2Q>> table((size_t)NW << W);
@@ -1206,7 +1208,7 @@ static void fixed_batch_ifma_g2(const Point<F2Q>& base, const u64* scalars,
             __m512i iv = _mm512_load_si512(idx);
             __mmask8 q_inf = 0;
             for (int l = 0; l < 8; l++)
-                if ((idx[l] & 0xFF) == 0 || atable[idx[l]].inf)
+                if ((idx[l] & ((1 << W) - 1)) == 0 || atable[idx[l]].inf)
                     q_inf |= (__mmask8)(1 << l);
             __m512i baseo = _mm512_mullo_epi64(iv,
                                                _mm512_set1_epi64(4 * L));
