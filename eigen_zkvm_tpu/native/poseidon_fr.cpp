@@ -21,6 +21,7 @@
 #include <cstring>
 
 #include "gl_avx512.h"
+#include "mont52_avx512.h"
 
 using u64 = uint64_t;
 using u128 = unsigned __int128;
@@ -63,6 +64,9 @@ struct Inst {
     u64 p52_2[5];     // 2p, normalized 5x52 limbs (csub subtrahend)
     u64 pinv52;       // -p^{-1} mod 2^52
     u64 r2_52[4];     // 2^520 mod p, as 4x64 value limbs
+#ifdef HAVE_MONT52
+    m52::M52Params<5> mp;  // shared vector-core parameter block
+#endif
     // tables per t, scalar-Montgomery 4x64: C, M[t][t], P[t][t], S
     Fe* C[MAX_T + 1];
     Fe* M[MAX_T + 1];
@@ -211,140 +215,31 @@ namespace frv {
 
 using glv::u64;
 
-static const u64 M52 = (1ULL << 52) - 1;
-
-struct Fv {
-    __m512i l[5];
-};
-
-struct Acc10 {
-    __m512i a[10];
-};
-
-static inline void acc_zero(Acc10& A) {
-    for (int i = 0; i < 10; i++) A.a[i] = _mm512_setzero_si512();
-}
-
-// A += x * m, m a broadcast constant in 5x52 limbs
-static inline void acc_mul_const(Acc10& A, const Fv& x, const u64* m) {
-    for (int j = 0; j < 5; j++) {
-        const __m512i mj = _mm512_set1_epi64((long long)m[j]);
-        for (int i = 0; i < 5; i++) {
-            A.a[i + j] = _mm512_madd52lo_epu64(A.a[i + j], x.l[i], mj);
-            A.a[i + j + 1] = _mm512_madd52hi_epu64(A.a[i + j + 1], x.l[i], mj);
-        }
-    }
-}
-
-// A += x * y (both vectors)
-static inline void acc_mul(Acc10& A, const Fv& x, const Fv& y) {
-    for (int j = 0; j < 5; j++) {
-        for (int i = 0; i < 5; i++) {
-            A.a[i + j] = _mm512_madd52lo_epu64(A.a[i + j], x.l[i], y.l[j]);
-            A.a[i + j + 1] = _mm512_madd52hi_epu64(A.a[i + j + 1], x.l[i],
-                                                   y.l[j]);
-        }
-    }
-}
-
-// Montgomery-reduce a 10-limb accumulator -> Fv with value < 2p, limbs
-// carry-propagated (< 2^52).  R = 2^260.
-static inline Fv acc_reduce(const Inst& F, Acc10& A) {
-    const __m512i pinv = _mm512_set1_epi64((long long)F.pinv52);
-    const __m512i mask = _mm512_set1_epi64((long long)M52);
-    for (int i = 0; i < 5; i++) {
-        __m512i q = _mm512_and_si512(
-            _mm512_madd52lo_epu64(_mm512_setzero_si512(), A.a[i], pinv),
-            mask);
-        for (int j = 0; j < 5; j++) {
-            const __m512i pj = _mm512_set1_epi64((long long)F.p52[j]);
-            A.a[i + j] = _mm512_madd52lo_epu64(A.a[i + j], q, pj);
-            A.a[i + j + 1] = _mm512_madd52hi_epu64(A.a[i + j + 1], q, pj);
-        }
-        // a[i] is now 0 mod 2^52; push its carry into a[i+1]
-        A.a[i + 1] = _mm512_add_epi64(A.a[i + 1],
-                                      _mm512_srli_epi64(A.a[i], 52));
-    }
-    // propagate carries in the result limbs a[5..9]
-    Fv r;
-    __m512i carry = _mm512_setzero_si512();
-    for (int i = 0; i < 5; i++) {
-        __m512i v = _mm512_add_epi64(A.a[5 + i], carry);
-        r.l[i] = _mm512_and_si512(v, mask);
-        carry = _mm512_srli_epi64(v, 52);
-    }
-    // carry out of limb 4 folds into limb 4 (value < 2p < 2^256 << 2^260)
-    r.l[4] = _mm512_or_si512(r.l[4], _mm512_slli_epi64(carry, 52));
-    return r;
-}
+// thin adapters over the shared templated core (mont52_avx512.h):
+// everything 5-limb here; the Inst carries its M52Params<5> in `mp`.
+using Fv = m52::Fv<5>;
 
 static inline Fv f_mul(const Inst& F, const Fv& a, const Fv& b) {
-    Acc10 A;
-    acc_zero(A);
-    acc_mul(A, a, b);
-    return acc_reduce(F, A);
+    return m52::f_mul(F.mp, a, b);
 }
 
 static inline Fv f_mul_const(const Inst& F, const Fv& a, const u64* m) {
-    Acc10 A;
-    acc_zero(A);
-    acc_mul_const(A, a, m);
-    return acc_reduce(F, A);
+    return m52::f_mul_const(F.mp, a, m);
 }
 
-// add + carry propagate (no modular reduction; limbs < 2^52 out)
 static inline Fv f_add(const Fv& a, const Fv& b) {
-    const __m512i mask = _mm512_set1_epi64((long long)M52);
-    Fv r;
-    __m512i carry = _mm512_setzero_si512();
-    for (int i = 0; i < 5; i++) {
-        __m512i v = _mm512_add_epi64(_mm512_add_epi64(a.l[i], b.l[i]), carry);
-        r.l[i] = _mm512_and_si512(v, mask);
-        carry = _mm512_srli_epi64(v, 52);
-    }
-    r.l[4] = _mm512_or_si512(r.l[4], _mm512_slli_epi64(carry, 52));
-    return r;
+    return m52::f_add_raw(a, b);
 }
 
 static inline Fv f_add_const(const Fv& a, const u64* c) {
-    const __m512i mask = _mm512_set1_epi64((long long)M52);
-    Fv r;
-    __m512i carry = _mm512_setzero_si512();
-    for (int i = 0; i < 5; i++) {
-        __m512i v = _mm512_add_epi64(
-            _mm512_add_epi64(a.l[i], _mm512_set1_epi64((long long)c[i])),
-            carry);
-        r.l[i] = _mm512_and_si512(v, mask);
-        carry = _mm512_srli_epi64(v, 52);
-    }
-    r.l[4] = _mm512_or_si512(r.l[4], _mm512_slli_epi64(carry, 52));
-    return r;
+    Fv cv;
+    for (int i = 0; i < 5; i++)
+        cv.l[i] = _mm512_set1_epi64((long long)c[i]);
+    return m52::f_add_raw(a, cv);
 }
 
-// conditional subtract of k*p (k = 1 or 2): x - kp when x >= kp.
-// kp limbs come pre-normalized (< 2^52) so a single borrow per limb is
-// enough.
 static inline Fv f_csub(const Inst& F, const Fv& x, int k) {
-    const __m512i mask = _mm512_set1_epi64((long long)M52);
-    const u64* kp_l = k == 2 ? F.p52_2 : F.p52;
-    // t = x - kp (52-limb with borrows); select x when borrow out
-    Fv t;
-    __m512i borrow = _mm512_setzero_si512();
-    for (int i = 0; i < 5; i++) {
-        u64 kp = kp_l[i];
-        __m512i sub = _mm512_add_epi64(_mm512_set1_epi64((long long)kp),
-                                       borrow);
-        __m512i diff = _mm512_sub_epi64(x.l[i], sub);
-        // borrow iff x.l[i] < sub  (both < 2^54: signed compare is safe)
-        __mmask8 bo = _mm512_cmplt_epi64_mask(x.l[i], sub);
-        t.l[i] = _mm512_and_si512(diff, mask);
-        borrow = _mm512_maskz_set1_epi64(bo, 1);
-    }
-    __mmask8 keep = _mm512_test_epi64_mask(borrow, borrow);  // borrow out
-    Fv r;
-    for (int i = 0; i < 5; i++)
-        r.l[i] = _mm512_mask_blend_epi64(keep, t.l[i], x.l[i]);
-    return r;
+    return m52::f_csub(F.mp, x, k);
 }
 
 static inline Fv f_pow5(const Inst& F, const Fv& x) {
@@ -352,6 +247,8 @@ static inline Fv f_pow5(const Inst& F, const Fv& x) {
     Fv x4 = f_mul(F, x2, x2);
     return f_mul(F, x4, x);
 }
+
+
 
 // full vector permutation: st[t] in Montgomery-52 form, values < 2p
 static void permute_v8(const Inst& F, int t, Fv* st) {
@@ -365,11 +262,11 @@ static void permute_v8(const Inst& F, int t, Fv* st) {
 
     auto mat = [&](const u64* mt) {
         for (int i = 0; i < t; i++) {
-            Acc10 A;
-            acc_zero(A);
+            m52::Acc<5> A;
+            m52::acc_zero(A);
             for (int j = 0; j < t; j++)
-                acc_mul_const(A, st[j], mt + (j * t + i) * 5);
-            tmp[i] = acc_reduce(F, A);
+                m52::acc_mul_const(A, st[j], mt + (j * t + i) * 5);
+            tmp[i] = m52::acc_reduce(F.mp, A);
         }
         for (int i = 0; i < t; i++) st[i] = tmp[i];
     };
@@ -389,11 +286,11 @@ static void permute_v8(const Inst& F, int t, Fv* st) {
         Fv s0 = f_add_const(f_pow5(F, st[0]), C + ((half + 1) * t + r) * 5);
         st[0] = s0;
         int base = (2 * t - 1) * r;
-        Acc10 A;
-        acc_zero(A);
+        m52::Acc<5> A;
+        m52::acc_zero(A);
         for (int j = 0; j < t; j++)
-            acc_mul_const(A, st[j], S + (base + j) * 5);
-        Fv new0 = acc_reduce(F, A);
+            m52::acc_mul_const(A, st[j], S + (base + j) * 5);
+        Fv new0 = m52::acc_reduce(F.mp, A);
         for (int k = 1; k < t; k++) {
             Fv pr = f_mul_const(F, s0, S + (base + t + k - 1) * 5);
             st[k] = f_csub(F, f_add(st[k], pr), 2);
@@ -410,35 +307,6 @@ static void permute_v8(const Inst& F, int t, Fv* st) {
     }
     for (int i = 0; i < t; i++) st[i] = f_pow5(F, st[i]);
     mat(M);
-}
-
-// 4x64 value-space rows [8][4] (stride in u64s) -> one RAW 5x52 Fv (the
-// caller converts to the Montgomery domain by multiplying with 2^260 mod p)
-static Fv load_raw(const u64* vals, size_t stride) {
-    // gather 4x64 limbs, slice into 5x52
-    __m512i w[4];
-    const __m512i vidx = _mm512_setr_epi64(
-        0, (long long)stride, (long long)(2 * stride),
-        (long long)(3 * stride), (long long)(4 * stride),
-        (long long)(5 * stride), (long long)(6 * stride),
-        (long long)(7 * stride));
-    for (int i = 0; i < 4; i++)
-        w[i] = _mm512_i64gather_epi64(vidx, (const long long*)(vals + i), 8);
-    const __m512i mask = _mm512_set1_epi64((long long)M52);
-    Fv r;
-    // limb k of 52 covers bits [52k, 52k+52)
-    r.l[0] = _mm512_and_si512(w[0], mask);
-    r.l[1] = _mm512_and_si512(
-        _mm512_or_si512(_mm512_srli_epi64(w[0], 52),
-                        _mm512_slli_epi64(w[1], 12)), mask);
-    r.l[2] = _mm512_and_si512(
-        _mm512_or_si512(_mm512_srli_epi64(w[1], 40),
-                        _mm512_slli_epi64(w[2], 24)), mask);
-    r.l[3] = _mm512_and_si512(
-        _mm512_or_si512(_mm512_srli_epi64(w[2], 28),
-                        _mm512_slli_epi64(w[3], 36)), mask);
-    r.l[4] = _mm512_srli_epi64(w[3], 16);
-    return r;
 }
 
 }  // namespace frv
@@ -494,6 +362,9 @@ void posfr_set_field(int inst, const u64* p) {
     F.p52_2[2] = ((p2[1] >> 40) | (p2[2] << 24)) & ((1ULL << 52) - 1);
     F.p52_2[3] = ((p2[2] >> 28) | (p2[3] << 36)) & ((1ULL << 52) - 1);
     F.p52_2[4] = p2[3] >> 16;
+#ifdef HAVE_MONT52
+    m52::m52_init<4, 5>(F.mp, F.p);
+#endif
 }
 
 // tables in 4x64 value-space limbs: C[nC], M[t*t], P[t*t], S[nS]
@@ -581,11 +452,11 @@ void posfr_hash_batch(int inst, int t, const u64* inp, const u64* init,
             // state[0] = init, state[1..] = inputs; convert to Montgomery
             // by multiplying the raw 52-limb value with 2^260 mod p.
             {
-                Fv raw = frv::load_raw(init + b0 * 4, 4);
+                Fv raw = m52::load_raw<4, 5>(init + b0 * 4, 4);
                 st[0] = f_mul_const(F, raw, r260_52);
             }
             for (int i = 0; i < t - 1; i++) {
-                Fv raw = frv::load_raw(
+                Fv raw = m52::load_raw<4, 5>(
                     inp + (b0 * (size_t)(t - 1) + i) * 4,
                     (size_t)(t - 1) * 4);
                 st[1 + i] = f_mul_const(F, raw, r260_52);
@@ -655,8 +526,8 @@ int posfr_dbg_mul52(int inst, const u64* a, const u64* b, u64* out) {
     r520_52[2] = ((r520[1] >> 40) | (r520[2] << 24)) & MM;
     r520_52[3] = ((r520[2] >> 28) | (r520[3] << 36)) & MM;
     r520_52[4] = r520[3] >> 16;
-    Fv av = load_raw(a, 0);  // stride 0: all 8 lanes read the same row
-    Fv bv = load_raw(b, 0);
+    Fv av = m52::load_raw<4, 5>(a, 0);  // stride 0: lanes share the row
+    Fv bv = m52::load_raw<4, 5>(b, 0);
     av = f_mul_const(F, av, r520_52);
     bv = f_mul_const(F, bv, r520_52);
     Fv cv = f_mul(F, av, bv);
