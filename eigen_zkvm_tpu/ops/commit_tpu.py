@@ -91,10 +91,14 @@ def _gather_rows(flat_lo, flat_hi, idxs):
 
 
 class DeviceMerkleTreeGL(MerkleTreeGL):
-    """MerkleTreeGL whose node levels live on the accelerator.
+    """MerkleTreeGL whose node levels AND leaf elements live on the
+    accelerator.
 
     Proof format and root are identical to the host tree; only the storage
-    differs.  `levels` is intentionally left empty."""
+    differs.  `levels` is intentionally left empty.  `elements` is lazy: in
+    the device-resident prove nothing ever materializes the full LDE on the
+    host — query rows come back through `prefetch` (one batched gather for
+    all query indices) or a per-index gather."""
 
     def __init__(self, flat_pair, sizes, offsets):
         super().__init__()
@@ -102,6 +106,24 @@ class DeviceMerkleTreeGL(MerkleTreeGL):
         self._sizes = [int(s) for s in sizes]       # true nodes per level
         self._offsets = [int(o) for o in offsets]   # storage offsets
         self._root = None
+        self._elem_pair = None               # (lo, hi) device [height, w]
+        self._pref: dict[int, tuple] = {}    # idx -> (row, [sib digests])
+
+    # `elements` stays assignable (host paths set it) but materializes the
+    # device pair on demand for host consumers (to_extend / host VM).
+    @property
+    def elements(self):
+        if self._elements is None and self._elem_pair is not None:
+            self._elements = _join(*self._elem_pair)
+        return self._elements
+
+    @elements.setter
+    def elements(self, v):
+        self._elements = v
+
+    def set_device_elements(self, pair):
+        self._elem_pair = pair
+        self._elements = None
 
     def root(self) -> np.ndarray:
         if self._root is None:
@@ -110,9 +132,7 @@ class DeviceMerkleTreeGL(MerkleTreeGL):
             self._root = _join(lo, hi)[0]
         return self._root
 
-    def get_group_proof(self, idx: int):
-        assert idx < self.height
-        v = self.elements[idx].copy()
+    def _sibling_indices(self, idx: int):
         depth = len(self._sizes) - 1
         idxs = np.zeros(depth, dtype=np.int64)
         mask = np.zeros(depth, dtype=bool)
@@ -123,10 +143,47 @@ class DeviceMerkleTreeGL(MerkleTreeGL):
                 idxs[lvl] = self._offsets[lvl] + sib
                 mask[lvl] = True
             i >>= 1
-        lo, hi = _gather_rows(*self._flat, jnp.asarray(idxs))
-        rows = _join(lo, hi)
-        rows[~mask] = 0                      # zero-digest pad siblings
-        return v, [rows[lvl] for lvl in range(depth)]
+        return idxs, mask
+
+    def prefetch(self, indices):
+        """One batched device gather for all query rows + sibling paths."""
+        todo = [i for i in dict.fromkeys(int(i) for i in indices)
+                if i not in self._pref]
+        if not todo:
+            return
+        depth = len(self._sizes) - 1
+        all_idx = np.zeros((len(todo), depth), dtype=np.int32)
+        all_mask = np.zeros((len(todo), depth), dtype=bool)
+        for k, idx in enumerate(todo):
+            all_idx[k], all_mask[k] = self._sibling_indices(idx)
+        lo, hi = _gather_rows(*self._flat, jnp.asarray(all_idx.ravel()))
+        rows = _join(lo, hi).reshape(len(todo), depth, 4)
+        rows[~all_mask] = 0
+        if self._elements is not None:
+            elems = self._elements[np.asarray(todo)]
+        else:
+            elo, ehi = _gather_rows(*self._elem_pair,
+                                    jnp.asarray(todo, dtype=np.int32))
+            elems = _join(elo, ehi)
+        for k, idx in enumerate(todo):
+            self._pref[idx] = (elems[k],
+                               [rows[k, lvl] for lvl in range(depth)])
+
+    def get_group_proof(self, idx: int):
+        assert idx < self.height
+        if idx not in self._pref:
+            self.prefetch([idx])
+        v, mp = self._pref[idx]
+        return v.copy(), [d.copy() for d in mp]
+
+    # checkpoint support (StarkSetup.save): device arrays pickle as numpy;
+    # they re-upload transparently on first use after load
+    def __getstate__(self):
+        d = self.__dict__.copy()
+        d["_flat"] = tuple(np.asarray(x) for x in self._flat)
+        if self._elem_pair is not None:
+            d["_elem_pair"] = tuple(np.asarray(x) for x in self._elem_pair)
+        return d
 
 
 def tpu_extend_and_merkelize(buf: np.ndarray, nbits: int,
@@ -135,7 +192,8 @@ def tpu_extend_and_merkelize(buf: np.ndarray, nbits: int,
     """buf: [N, n_pols] u64 trace section -> Merkle tree over its LDE,
     computed on the default (TPU) device.  When `cache` is given, the
     device-resident LDE limb pair is deposited under `cache_key` so later
-    device passes (ops/vm_jax.py) skip the re-upload."""
+    device passes (ops/vm_jax.py) skip the re-upload.  The LDE never comes
+    back to the host unless someone reads `tree.elements` (lazy)."""
     n_pols = buf.shape[1]
     if n_pols == 0:
         return MerkleTreeGL().merkelize(
@@ -145,17 +203,25 @@ def tpu_extend_and_merkelize(buf: np.ndarray, nbits: int,
     if cache is not None and cache_key:
         cache[cache_key] = lde
     tree = DeviceMerkleTreeGL(flat, *_level_meta(1 << nbits_ext))
-    tree.elements = _join(*lde)
+    tree.set_device_elements(lde)
     tree.width = n_pols
     tree.height = 1 << nbits_ext
     return tree
 
 
-def tpu_merkelize(buf: np.ndarray, cache: dict | None = None,
-                  cache_key: str | None = None, pair=None) -> MerkleTreeGL:
+def tpu_merkelize(buf: np.ndarray | None, cache: dict | None = None,
+                  cache_key: str | None = None, pair=None,
+                  shape: tuple | None = None) -> MerkleTreeGL:
     """Merkle tree over an already-extended [N_ext, w] section on device.
-    Pass `pair` (device limb pair) to skip the host upload entirely."""
-    height, width = buf.shape
+    Pass `pair` (device limb pair) to skip the host upload entirely; with
+    buf=None the tree is fully device-backed (pass `shape` or let it come
+    from the pair)."""
+    if buf is not None:
+        height, width = buf.shape
+    elif shape is not None:
+        height, width = shape
+    else:
+        height, width = pair[0].shape
     if pair is None:
         lo, hi = _split(np.ascontiguousarray(buf))
         pair = (jnp.asarray(lo), jnp.asarray(hi))
@@ -163,7 +229,10 @@ def tpu_merkelize(buf: np.ndarray, cache: dict | None = None,
         cache[cache_key] = pair
     flat = _levels_only(pair[0], pair[1], width, height)
     tree = DeviceMerkleTreeGL(flat, *_level_meta(height))
-    tree.elements = buf
+    if buf is not None:
+        tree.elements = buf
+    else:
+        tree.set_device_elements(pair)
     tree.width = width
     tree.height = height
     return tree

@@ -14,6 +14,7 @@ only the sections a segment actually reads/writes are transferred.
 from __future__ import annotations
 
 import os
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -349,10 +350,42 @@ def _sum_mod(pair):
     return lo[0], hi[0]
 
 
+@partial(jax.jit, static_argnames=("nbits",))
+def _levs_kernel(xlo, xhi, wlo, whi, nbits: int):
+    """LEv/LpEv on device: geometric powers by doubling (log-depth concat)
+    then iNTT — bit-exact with host ntt.intt(_geometric(...))."""
+    from . import ntt_jax
+
+    outs = []
+    for plo, phi in ((xlo, xhi), (wlo, whi)):
+        pow_lo = jnp.concatenate([jnp.ones((1, 1), jnp.uint32),
+                                  jnp.zeros((1, 2), jnp.uint32)], -1)
+        pow_hi = jnp.zeros((1, 3), jnp.uint32)
+        cur = (plo[None, :], phi[None, :])        # r^(2^k) as [1, 3]
+        for _ in range(nbits):
+            nxt_lo, nxt_hi = _f3_mul((pow_lo, pow_hi),
+                                     (jnp.broadcast_to(cur[0], pow_lo.shape),
+                                      jnp.broadcast_to(cur[1], pow_hi.shape)))
+            pow_lo = jnp.concatenate([pow_lo, nxt_lo], 0)
+            pow_hi = jnp.concatenate([pow_hi, nxt_hi], 0)
+            cur = _f3_mul(cur, cur)
+        outs.append(ntt_jax.intt((pow_lo, pow_hi), nbits))
+    return tuple(outs)
+
+
+def compute_levs(ctx, xis, wxis):
+    """Device (LEv, LpEv) pairs for compute_evals — nothing big uploads."""
+    xp = _split64(np.asarray(xis))
+    wp = _split64(np.asarray(wxis))
+    lev, lpev = _levs_kernel(xp[0], xp[1], wp[0], wp[1], ctx.nbits)
+    return lev, lpev
+
+
 def compute_evals(ctx, LEv, LpEv):
     """Openings at xi / w*xi on device: for every ev_map entry, the dot of
     its (strided) extended column with the Lagrange vector, summed mod p.
-    Sections come from ctx._tpu_cache when resident; one tiny download."""
+    Sections come from ctx._tpu_cache when resident; one tiny download.
+    LEv/LpEv may be host [N, 3] arrays or device GL pairs."""
     si = ctx.starkinfo
     stride = 1 << (ctx.nbits_ext - ctx.nbits)
     entries = []
@@ -377,8 +410,9 @@ def compute_evals(ctx, LEv, LpEv):
         return pair
 
     state = {name: fetch(name) for name in needed}
-    state["LEv"] = _split64(np.asarray(LEv))
-    state["LpEv"] = _split64(np.asarray(LpEv))
+    state["LEv"] = LEv if isinstance(LEv, tuple) else _split64(np.asarray(LEv))
+    state["LpEv"] = LpEv if isinstance(LpEv, tuple) \
+        else _split64(np.asarray(LpEv))
 
     key = ("evals", id(si), ctx.nbits, ctx.nbits_ext)
     ent = _jit_cache.get(key)
@@ -450,10 +484,13 @@ def execute_segment(ctx, segment, dom: str):
             si, segment, dom, ctx.nbits, ctx.nbits_ext, st))
         _jit_cache[key] = (segment, fn)
     out = fn(state)
+    resident = getattr(getattr(ctx, "engine", None), "device_resident", False)
     for name, pair in out.items():
-        ctx.sections[name][:, :] = _join64(pair[0], pair[1])
         if cache is not None and name not in _NO_CACHE:
             cache[name] = pair
+        if resident and name.endswith("2ns"):
+            continue  # stays device-only; FRI/evals/Q read the cache
+        ctx.sections[name][:, :] = _join64(pair[0], pair[1])
 
 
 def enabled() -> bool:

@@ -24,27 +24,46 @@ class FRIProof:
 
 
 class FRI:
-    def __init__(self, stark_struct, merkle_cls=MerkleTreeGL):
+    def __init__(self, stark_struct, merkle_cls=MerkleTreeGL, engine=None):
         self.merkle_cls = merkle_cls
+        self.engine = engine
         self.in_nbits = stark_struct.nBitsExt
         self.max_deg_nbits = stark_struct.nBits
         self.n_queries = stark_struct.nQueries
         self.steps = stark_struct.steps
 
+    def _tpu(self) -> bool:
+        if self.merkle_cls is not MerkleTreeGL:
+            return False
+        if self.engine is not None:
+            return self.engine.tpu_commit
+        import os
+
+        if os.environ.get("EIGEN_ZKVM_TPU_COMMIT"):
+            from ..ops import commit_tpu
+
+            return commit_tpu.enabled()
+        return False
+
     def _merkelize(self, buf, width, height):
         """GL fold-commit trees ride the TPU commit backend when enabled."""
-        if self.merkle_cls is MerkleTreeGL:
-            import os
+        if self._tpu():
+            from ..ops import commit_tpu
 
-            if os.environ.get("EIGEN_ZKVM_TPU_COMMIT"):
-                from ..ops import commit_tpu
-
-                if commit_tpu.enabled():
-                    return commit_tpu.tpu_merkelize(buf)
+            return commit_tpu.tpu_merkelize(buf)
         return self.merkle_cls().merkelize(buf, width, height)
 
-    def prove(self, transcript, pol: np.ndarray, query_pol):
-        """pol: [2^in_nbits, 3] extension values on the shifted coset."""
+    def prove(self, transcript, pol, query_pol, device_pair=None,
+              prefetch=None):
+        """pol: [2^in_nbits, 3] extension values on the shifted coset.
+
+        With `device_pair` the whole fold chain runs on the accelerator
+        (ops/fri_jax.py): per step only special_x (24 B up) and the fold
+        root (32 B down) cross the link; query rows return via one batched
+        gather per tree (`prefetch`)."""
+        if device_pair is not None:
+            return self._prove_device(transcript, device_pair, query_pol,
+                                      prefetch)
         pol_bits = pol.shape[0].bit_length() - 1
         assert 1 << pol_bits == pol.shape[0]
         assert pol_bits == self.in_nbits
@@ -96,17 +115,67 @@ class FRI:
                 shift = gl.mul(shift, shift)
 
         proof.last = pol.copy()
+        return self._query_phase(transcript, proof, trees, query_pol,
+                                 prefetch)
 
+    def _prove_device(self, transcript, pair, query_pol, prefetch):
+        """Device-resident fold chain — bit-exact with the host path."""
+        from ..ops import fri_jax
+
+        pol_bits = self.in_nbits
+        shift_inv = gl.inv(np.uint64(gl.SHIFT))
+        trees = []
+        proof = FRIProof(len(self.steps))
+        pol2_e = None
+
+        for si, step in enumerate(self.steps):
+            reduction_bits = pol_bits - step.nBits
+            special_x = transcript.get_field()
+
+            if si == 0:
+                pair = (pair[0][: 1 << step.nBits],
+                        pair[1][: 1 << step.nBits])
+            else:
+                pair = fri_jax.fold(pair, special_x, pol_bits, step.nBits,
+                                    int(shift_inv))
+
+            if si < len(self.steps) - 1:
+                tree = fri_jax.fold_tree(pair, step.nBits,
+                                         self.steps[si + 1].nBits)
+                trees.append(tree)
+                proof.queries[si + 1]["root"] = tree.root()
+                transcript.put_root(tree.root())
+            else:
+                lo = np.asarray(pair[0]).astype(np.uint64)
+                hi = np.asarray(pair[1]).astype(np.uint64)
+                pol2_e = lo | (hi << np.uint64(32))
+                for e in pol2_e:
+                    transcript.put_elements([int(e[0]), int(e[1]), int(e[2])])
+
+            pol_bits = step.nBits
+            for _ in range(reduction_bits):
+                shift_inv = gl.mul(shift_inv, shift_inv)
+
+        proof.last = pol2_e.copy()
+        return self._query_phase(transcript, proof, trees, query_pol,
+                                 prefetch)
+
+    def _query_phase(self, transcript, proof, trees, query_pol, prefetch):
         ys = transcript.get_permutations(self.n_queries, self.steps[0].nBits)
+        if prefetch is not None:
+            prefetch(ys)
+        ys_si = list(ys)
         for si in range(len(self.steps)):
-            for y in ys:
+            if si > 0 and hasattr(trees[si - 1], "prefetch"):
+                trees[si - 1].prefetch(ys_si)
+            for y in ys_si:
                 if si == 0:
                     proof.queries[si]["pol_queries"].append(query_pol(y))
                 else:
                     proof.queries[si]["pol_queries"].append(
                         [trees[si - 1].get_group_proof(y)])
             if si < len(self.steps) - 1:
-                ys = [y % (1 << self.steps[si + 1].nBits) for y in ys]
+                ys_si = [y % (1 << self.steps[si + 1].nBits) for y in ys_si]
         return proof
 
     def verify(self, transcript, proof: FRIProof, check_query) -> bool:

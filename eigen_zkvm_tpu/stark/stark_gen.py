@@ -19,22 +19,23 @@ from ..fields import f3g
 from ..fields import gl64 as gl
 from ..poly import ntt
 from .backends import get_backend
+from .engine import Engine
 from .fri import FRI, FRIProof
 from ..utils.profiler import Prof
+from ..utils import structlog
 from .vm import ProverContext, execute_segment
 
 
 def _exec_segment(ctx, segment, dom):
-    """Dispatch one compiled segment: the device executor when enabled
-    (EIGEN_ZKVM_TPU_VM=1, ops/vm_jax.py), else the native cache-blocked host
-    executor (native/vm_host.cpp), else the numpy column VM."""
+    """Dispatch one compiled segment: the device executor when the engine
+    says so (ops/vm_jax.py), else the native cache-blocked host executor
+    (native/vm_host.cpp), else the numpy column VM."""
     import os
 
-    if os.environ.get("EIGEN_ZKVM_TPU_VM"):
+    if ctx.engine.tpu_vm:
         from ..ops import vm_jax
 
-        if vm_jax.enabled():
-            return vm_jax.execute_segment(ctx, segment, dom)
+        return vm_jax.execute_segment(ctx, segment, dom)
     if not os.environ.get("EIGEN_ZKVM_NO_NATIVE"):
         from . import vm_native
 
@@ -106,20 +107,21 @@ def calculate_z(num: np.ndarray, den: np.ndarray) -> np.ndarray:
     return z
 
 
-def _tpu_commit():
-    """The on-device commit backend, when enabled and a TPU is present
-    (EIGEN_ZKVM_TPU_COMMIT=1; GL Merkle only)."""
-    import os
-
-    if not os.environ.get("EIGEN_ZKVM_TPU_COMMIT"):
+def _tpu_commit(ctx):
+    """The on-device commit backend, when the engine selected it."""
+    if not ctx.engine.tpu_commit:
         return None
     from ..ops import commit_tpu
 
-    return commit_tpu if commit_tpu.enabled() else None
+    return commit_tpu
 
 
 def _extend_and_merkelize(ctx: ProverContext, section: str, merkle_cls):
-    """LDE a *_n section to its *_2ns twin and Merkle-commit it."""
+    """LDE a *_n section to its *_2ns twin and Merkle-commit it.
+
+    Device engine: the LDE pair stays on the accelerator (deposited in
+    ctx._tpu_cache for the VM/evals/FRI passes); the host *_2ns section is
+    only materialized when a host consumer still needs it (mixed mode)."""
     from ..hash.merkle_gl import MerkleTreeGL
 
     n_pols = ctx.sections[section].shape[1]
@@ -129,12 +131,13 @@ def _extend_and_merkelize(ctx: ProverContext, section: str, merkle_cls):
         from ..hash.merkle_gl import ZeroMerkleTreeGL
 
         return ZeroMerkleTreeGL.build(ctx.Next)
-    tpu = _tpu_commit() if merkle_cls is MerkleTreeGL and n_pols else None
+    tpu = _tpu_commit(ctx) if merkle_cls is MerkleTreeGL and n_pols else None
     if tpu is not None:
         tree = tpu.tpu_extend_and_merkelize(
             ctx.sections[section], ctx.nbits, ctx.nbits_ext,
             cache=getattr(ctx, "_tpu_cache", None), cache_key=ext_name)
-        ctx.sections[ext_name][:, :] = tree.elements
+        if not ctx.engine.device_resident:
+            ctx.sections[ext_name][:, :] = tree.elements
         return tree
     lde = ntt.interpolate(ctx.sections[section], ctx.nbits, ctx.nbits_ext) \
         if n_pols else np.zeros((ctx.Next, 0), dtype=np.uint64)
@@ -147,12 +150,14 @@ def _merkelize(ctx: ProverContext, section: str, merkle_cls):
     from ..hash.merkle_gl import MerkleTreeGL
 
     buf = ctx.sections[section]
-    tpu = _tpu_commit() if merkle_cls is MerkleTreeGL and buf.shape[1] else None
+    tpu = _tpu_commit(ctx) if merkle_cls is MerkleTreeGL and buf.shape[1] else None
     if tpu is not None:
         cache = getattr(ctx, "_tpu_cache", None)
         pair = cache.get(section) if cache is not None else None
-        return tpu.tpu_merkelize(buf, cache=cache, cache_key=section,
-                                 pair=pair)
+        host_buf = None if (ctx.engine.device_resident and pair is not None) \
+            else buf
+        return tpu.tpu_merkelize(host_buf, cache=cache, cache_key=section,
+                                 pair=pair, shape=buf.shape)
     return merkle_cls().merkelize(buf, buf.shape[1], buf.shape[0])
 
 
@@ -161,6 +166,11 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     merkle_cls, transcript_cls = get_backend(stark_struct.verificationHashType)
     prof = Prof("stark_gen")
     ctx = ProverContext(starkinfo, stark_struct)
+    ctx.engine = Engine(stark_struct.nBitsExt)
+    structlog.log_event("stark_gen.start", nbits=stark_struct.nBits,
+                        nbits_ext=stark_struct.nBitsExt,
+                        hash=stark_struct.verificationHashType,
+                        engine=repr(ctx.engine))
     N, Next = ctx.N, ctx.Next
     extend_bits = ctx.nbits_ext - ctx.nbits
 
@@ -169,7 +179,13 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     # trace + preprocessed columns
     ctx.sections["cm1_n"][:, :] = cm_pols.write_buff()
     ctx.sections["const_n"][:, :] = const_pols.write_buff()
-    ctx.sections["const_2ns"][:, :] = const_tree.to_extend()
+    const_pair = getattr(const_tree, "_elem_pair", None)
+    if ctx.engine.device_resident and const_pair is not None:
+        # device-built const tree (stark_setup): the extended constants
+        # stay on the accelerator, serving VM/evals reads from the cache
+        ctx._tpu_cache["const_2ns"] = const_pair
+    else:
+        ctx.sections["const_2ns"][:, :] = const_tree.to_extend()
 
     # domains
     w_n = np.uint64(gl.root_of_unity(ctx.nbits))
@@ -249,7 +265,7 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     q_dim, q_deg = starkinfo.q_dim, starkinfo.q_deg
     from ..hash.merkle_gl import MerkleTreeGL as _MTGL
 
-    tpu = _tpu_commit() if merkle_cls is _MTGL else None
+    tpu = _tpu_commit(ctx) if merkle_cls is _MTGL else None
     q_pair = ctx._tpu_cache.get("q_2ns") if tpu is not None else None
     if q_deg > 0 and q_pair is not None:
         # device path: the quotient is already resident from step42ns
@@ -281,16 +297,21 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     xis = f3g.mul_base(xi, shift_inv)
     wxis = f3g.mul_base(f3g.mul_base(xi, w_n), shift_inv)
 
-    LEv = ntt.intt(_geometric(xis, N))
-    LpEv = ntt.intt(_geometric(wxis, N))
-
-    import os as _os
-
-    if _os.environ.get("EIGEN_ZKVM_TPU_VM") and len(starkinfo.ev_map):
+    if ctx.engine.tpu_vm and len(starkinfo.ev_map):
+        from .engine import accel_active
         from ..ops import vm_jax
 
-        evals = vm_jax.compute_evals(ctx, LEv, LpEv)
+        if accel_active():
+            # Lagrange vectors built ON device (geometric powers + iNTT)
+            # — no [N, 3] upload rides the host link
+            levs = vm_jax.compute_levs(ctx, xis, wxis)
+        else:
+            levs = (ntt.intt(_geometric(xis, N)),
+                    ntt.intt(_geometric(wxis, N)))
+        evals = vm_jax.compute_evals(ctx, *levs)
     else:
+        LEv = ntt.intt(_geometric(xis, N))
+        LpEv = ntt.intt(_geometric(wxis, N))
         evals = np.zeros((len(starkinfo.ev_map), 3), dtype=np.uint64)
         for i, ev in enumerate(starkinfo.ev_map):
             if ev.type_ == "const":
@@ -319,9 +340,8 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
 
     # xDivXSubXi / xDivXSubWXi over the extended coset
     wxi = f3g.mul_base(xi, w_n)
-    import os as _os
 
-    if _os.environ.get("EIGEN_ZKVM_TPU_VM"):
+    if ctx.engine.tpu_vm:
         from ..ops import vm_jax
 
         ctx.x_div_x_sub_xi, ctx.x_div_x_sub_wxi = vm_jax.compute_xdiv(
@@ -337,19 +357,28 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
 
     _exec_segment(ctx, program.step52ns, "2ns")
     prof.tick("stage4 quotient + openings")
-    fri_pol = ctx.sections["f_2ns"].copy()
+
+    trees = [tree1, tree2, tree3, tree4, const_tree]
 
     def query_pol(idx: int):
-        return [
-            tree1.get_group_proof(idx),
-            tree2.get_group_proof(idx),
-            tree3.get_group_proof(idx),
-            tree4.get_group_proof(idx),
-            const_tree.get_group_proof(idx),
-        ]
+        return [t.get_group_proof(idx) for t in trees]
 
-    fri = FRI(stark_struct, merkle_cls)
-    fri_proof = fri.prove(transcript, fri_pol, query_pol)
+    def prefetch(idxs):
+        """Batch the per-tree query gathers (one device round trip per
+        tree instead of one per (tree, query))."""
+        for t in trees:
+            if hasattr(t, "prefetch"):
+                t.prefetch(idxs)
+
+    fri = FRI(stark_struct, merkle_cls, engine=ctx.engine)
+    if ctx.engine.device_resident and "f_2ns" in ctx._tpu_cache:
+        fri_proof = fri.prove(transcript, None, query_pol,
+                              device_pair=ctx._tpu_cache["f_2ns"],
+                              prefetch=prefetch)
+    else:
+        fri_pol = ctx.sections["f_2ns"].copy()
+        fri_proof = fri.prove(transcript, fri_pol, query_pol,
+                              prefetch=prefetch)
 
     proof = StarkProof()
     proof.rootC = const_tree.root()

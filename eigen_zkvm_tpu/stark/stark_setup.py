@@ -19,15 +19,14 @@ class StarkSetup:
         merkle_cls, _ = get_backend(stark_struct.verificationHashType)
         self.const_tree = None
         if stark_struct.verificationHashType == "GL" and pil.nConstants:
-            import os
+            from .engine import Engine
 
-            if os.environ.get("EIGEN_ZKVM_TPU_COMMIT"):
+            if Engine(stark_struct.nBitsExt).tpu_commit:
                 from ..ops import commit_tpu
 
-                if commit_tpu.enabled():
-                    self.const_tree = commit_tpu.tpu_extend_and_merkelize(
-                        const_pols.buffer, stark_struct.nBits,
-                        stark_struct.nBitsExt)
+                self.const_tree = commit_tpu.tpu_extend_and_merkelize(
+                    const_pols.buffer, stark_struct.nBits,
+                    stark_struct.nBitsExt)
         if self.const_tree is None:
             lde = ntt.interpolate(const_pols.buffer, stark_struct.nBits,
                                   stark_struct.nBitsExt) \

@@ -66,6 +66,7 @@ class ProverContext:
         # device-resident buffer cache shared by the TPU commit backend
         # (ops/commit_tpu.py) and segment executor (ops/vm_jax.py)
         self._tpu_cache: dict = {}
+        self.engine = None  # stark_gen installs the resolved Engine
 
 
 def _roll(arr: np.ndarray, next_: int) -> np.ndarray:

@@ -18,17 +18,23 @@ from __future__ import annotations
 import os
 import time
 
+from . import structlog
+
 
 def enabled() -> bool:
     return bool(os.environ.get("EIGEN_ZKVM_PROFILE"))
 
 
 class Prof:
-    __slots__ = ("name", "on", "t0", "last")
+    """Stage ticks print with EIGEN_ZKVM_PROFILE=1 and/or emit structured
+    JSON-lines records with EIGEN_ZKVM_LOG (utils/structlog.py)."""
+
+    __slots__ = ("name", "on", "pr", "t0", "last")
 
     def __init__(self, name: str):
         self.name = name
-        self.on = enabled()
+        self.pr = enabled()
+        self.on = self.pr or structlog.enabled()
         if self.on:
             self.t0 = self.last = time.perf_counter()
 
@@ -36,13 +42,19 @@ class Prof:
         if not self.on:
             return
         now = time.perf_counter()
-        print(f"[profile] {self.name}: {stage}: {now - self.last:.3f}s",
-              flush=True)
+        if self.pr:
+            print(f"[profile] {self.name}: {stage}: {now - self.last:.3f}s",
+                  flush=True)
+        structlog.log_event(f"{self.name}.stage", stage=stage,
+                            wall=round(now - self.last, 4))
         self.last = now
 
     def done(self):
         if not self.on:
             return
         now = time.perf_counter()
-        print(f"[profile] {self.name}: TOTAL {now - self.t0:.3f}s",
-              flush=True)
+        if self.pr:
+            print(f"[profile] {self.name}: TOTAL {now - self.t0:.3f}s",
+                  flush=True)
+        structlog.log_event(f"{self.name}.total",
+                            wall=round(now - self.t0, 4))
