@@ -19,6 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..hash.merkle_gl import MerkleTreeGL
+from ..parallel import meshctx
 from . import gl_jax as g
 from . import ntt_jax
 from . import poseidon_jax as pj
@@ -72,16 +73,22 @@ def _level_meta(height: int):
     return sizes, offsets
 
 
-@partial(jax.jit, static_argnames=("nbits", "nbits_ext", "n_pols"))
-def _lde_and_levels(lo, hi, nbits: int, nbits_ext: int, n_pols: int):
-    lde = ntt_jax.interpolate((lo, hi), nbits, nbits_ext)
+@partial(jax.jit, static_argnames=("nbits", "nbits_ext", "n_pols", "ma"))
+def _lde_and_levels(lo, hi, nbits: int, nbits_ext: int, n_pols: int,
+                    ma=None):
+    # mesh layout: NTT pol-sharded (row butterflies local), then ONE
+    # all_to_all reshard to row-sharded leaves/levels (fft_p.rs transpose
+    # analog) — XLA inserts the collective at the constraint switch
+    pair = meshctx.cols((lo, hi), ma)
+    lde = meshctx.rows(ntt_jax.interpolate(pair, nbits, nbits_ext), ma)
     levels, stack = pj.merkle_levels(lde, n_pols, 1 << nbits_ext)
     return lde, _flatten_levels(levels, stack)
 
 
-@partial(jax.jit, static_argnames=("width", "height"))
-def _levels_only(lo, hi, width: int, height: int):
-    levels, stack = pj.merkle_levels((lo, hi), width, height)
+@partial(jax.jit, static_argnames=("width", "height", "ma"))
+def _levels_only(lo, hi, width: int, height: int, ma=None):
+    levels, stack = pj.merkle_levels(meshctx.rows((lo, hi), ma),
+                                     width, height)
     return _flatten_levels(levels, stack)
 
 
@@ -199,7 +206,8 @@ def tpu_extend_and_merkelize(buf: np.ndarray, nbits: int,
         return MerkleTreeGL().merkelize(
             np.zeros((1 << nbits_ext, 0), dtype=np.uint64), 0, 1 << nbits_ext)
     lo, hi = _split(np.ascontiguousarray(buf))
-    lde, flat = _lde_and_levels(lo, hi, nbits, nbits_ext, n_pols)
+    lde, flat = _lde_and_levels(lo, hi, nbits, nbits_ext, n_pols,
+                                ma=meshctx.active())
     if cache is not None and cache_key:
         cache[cache_key] = lde
     tree = DeviceMerkleTreeGL(flat, *_level_meta(1 << nbits_ext))
@@ -227,7 +235,8 @@ def tpu_merkelize(buf: np.ndarray | None, cache: dict | None = None,
         pair = (jnp.asarray(lo), jnp.asarray(hi))
     if cache is not None and cache_key:
         cache[cache_key] = pair
-    flat = _levels_only(pair[0], pair[1], width, height)
+    flat = _levels_only(pair[0], pair[1], width, height,
+                        ma=meshctx.active())
     tree = DeviceMerkleTreeGL(flat, *_level_meta(height))
     if buf is not None:
         tree.elements = buf

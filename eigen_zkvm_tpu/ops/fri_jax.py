@@ -18,6 +18,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..fields import gl64 as gl
+from ..parallel import meshctx
 from . import gl_jax as g
 from . import ntt_jax
 from . import poseidon_jax as pj
@@ -44,17 +45,20 @@ def _f3_mul(a, b):
             jnp.concatenate([c0[1], c1[1], c2[1]], axis=-1))
 
 
-@partial(jax.jit, static_argnames=("pol_bits", "step_nbits"))
+@partial(jax.jit, static_argnames=("pol_bits", "step_nbits", "ma"))
 def _fold(lo, hi, sx_lo, sx_hi, sinv_lo, sinv_hi,
-          pol_bits: int, step_nbits: int):
+          pol_bits: int, step_nbits: int, ma=None):
     """pol pair [2^pol_bits, 3] -> folded [2^step_nbits, 3].
 
     sinv_*: [2^step_nbits] base-field per-group scale shift_inv * w^{-g}
     (host-precomputed: one exp_vec, static per (in_nbits, si)).
+    Under a mesh the GROUP axis is sharded — the small group-axis iNTT and
+    the Horner ladder are then communication-free per device.
     """
     n_x = 1 << (pol_bits - step_nbits)
     pol2_n = 1 << step_nbits
-    ppar = (lo.reshape(n_x, pol2_n, 3), hi.reshape(n_x, pol2_n, 3))
+    ppar = meshctx._constrain(
+        (lo.reshape(n_x, pol2_n, 3), hi.reshape(n_x, pol2_n, 3)), ma, 1)
     coeffs = ntt_jax.intt(ppar, pol_bits - step_nbits)
     # y_g = special_x * sinv_g : [pol2_n, 3]
     y = g.mul((jnp.broadcast_to(sx_lo[None, :], (pol2_n, 3)),
@@ -66,17 +70,18 @@ def _fold(lo, hi, sx_lo, sx_hi, sinv_lo, sinv_hi,
     return res
 
 
-@partial(jax.jit, static_argnames=("step_nbits", "next_nbits"))
-def _leaves_and_levels(lo, hi, step_nbits: int, next_nbits: int):
+@partial(jax.jit, static_argnames=("step_nbits", "next_nbits", "ma"))
+def _leaves_and_levels(lo, hi, step_nbits: int, next_nbits: int, ma=None):
     """Group a folded pol into next-step leaves and hash the tree levels.
 
     leaf i = [pol[j * n_groups + i] for j] flattened x3 (fri.rs layout)."""
     n_groups = 1 << next_nbits
     group_size = (1 << step_nbits) // n_groups
-    etb = (lo.reshape(group_size, n_groups, 3).transpose(1, 0, 2)
-             .reshape(n_groups, group_size * 3),
-           hi.reshape(group_size, n_groups, 3).transpose(1, 0, 2)
-             .reshape(n_groups, group_size * 3))
+    etb = meshctx.rows(
+        (lo.reshape(group_size, n_groups, 3).transpose(1, 0, 2)
+           .reshape(n_groups, group_size * 3),
+         hi.reshape(group_size, n_groups, 3).transpose(1, 0, 2)
+           .reshape(n_groups, group_size * 3)), ma)
     levels, stack = pj.merkle_levels(etb, group_size * 3, n_groups)
     return etb, _flatten_levels(levels, stack)
 
@@ -107,14 +112,15 @@ def fold(pair, special_x: np.ndarray, pol_bits: int, step_nbits: int,
     sx_hi = jnp.asarray((sx >> np.uint64(32)).astype(np.uint32))
     sinv_lo, sinv_hi = _sinv_pair(pol_bits, step_nbits, shift_inv)
     return _fold(pair[0], pair[1], sx_lo, sx_hi, sinv_lo, sinv_hi,
-                 pol_bits, step_nbits)
+                 pol_bits, step_nbits, ma=meshctx.active())
 
 
 def fold_tree(pair, step_nbits: int, next_nbits: int) -> DeviceMerkleTreeGL:
     """Commit a folded pol for the next step; nodes stay on device."""
     n_groups = 1 << next_nbits
     group_size = (1 << step_nbits) // n_groups
-    etb, flat = _leaves_and_levels(pair[0], pair[1], step_nbits, next_nbits)
+    etb, flat = _leaves_and_levels(pair[0], pair[1], step_nbits, next_nbits,
+                                   ma=meshctx.active())
     tree = DeviceMerkleTreeGL(flat, *_level_meta(n_groups))
     tree.set_device_elements(etb)
     tree.width = group_size * 3

@@ -208,12 +208,20 @@ def _analyze(ctx, segment, dom: str):
 
 
 def _trace_segment(si, segment, dom: str, nbits: int, nbits_ext: int,
-                   state: dict):
+                   state: dict, ma=None):
     """Pure function of `state` (dict name -> GL pair); returns the updated
-    written sections.  Called under jax.jit."""
+    written sections.  Called under jax.jit.
+
+    Under a mesh (`ma`), every full-domain buffer is row-sharded: the column
+    ops are elementwise in rows, and the next-row rotations become
+    collective-permute halo exchanges XLA inserts (stark_gen.rs:786-963
+    row-chunking analog)."""
+    from ..parallel import meshctx
+
     n = (1 << nbits) if dom == "n" else (1 << nbits_ext)
     next_ = 1 if dom == "n" else (1 << (nbits_ext - nbits))
-    bufs = dict(state)
+    bufs = {k: (meshctx.rows(v, ma) if v[0].shape[0] == n else v)
+            for k, v in state.items()}
     tmps: dict = {}
 
     def read(node):
@@ -414,7 +422,10 @@ def compute_evals(ctx, LEv, LpEv):
     state["LpEv"] = LpEv if isinstance(LpEv, tuple) \
         else _split64(np.asarray(LpEv))
 
-    key = ("evals", id(si), ctx.nbits, ctx.nbits_ext)
+    from ..parallel import meshctx
+
+    ma = meshctx.active()
+    key = ("evals", id(si), ctx.nbits, ctx.nbits_ext, ma)
     ent = _jit_cache.get(key)
     # keep the starkinfo reference: it guards id() reuse after GC
     fn = ent[1] if ent is not None and ent[0] is si else None
@@ -424,7 +435,7 @@ def compute_evals(ctx, LEv, LpEv):
         def run(st):
             outs_lo, outs_hi = [], []
             for sec, off, dim, prime in ents:
-                lo, hi = st[sec]
+                lo, hi = meshctx.rows(st[sec], ma)
                 v = (lo[::stride, off : off + dim],
                      hi[::stride, off : off + dim])
                 l = st["LpEv"] if prime else st["LEv"]
@@ -476,12 +487,15 @@ def execute_segment(ctx, segment, dom: str):
         arr = getattr(ctx, name) if name != "publics" else ctx.publics
         state[name] = fetch(name, arr)
 
-    key = (id(segment), dom, ctx.nbits, ctx.nbits_ext)
+    from ..parallel import meshctx
+
+    ma = meshctx.active()
+    key = (id(segment), dom, ctx.nbits, ctx.nbits_ext, ma)
     ent = _jit_cache.get(key)
     fn = ent[1] if ent is not None and ent[0] is segment else None
     if fn is None:
         fn = jax.jit(lambda st: _trace_segment(
-            si, segment, dom, ctx.nbits, ctx.nbits_ext, st))
+            si, segment, dom, ctx.nbits, ctx.nbits_ext, st, ma))
         _jit_cache[key] = (segment, fn)
     out = fn(state)
     resident = getattr(getattr(ctx, "engine", None), "device_resident", False)

@@ -28,12 +28,60 @@ from .isa import Instr, N_REGS, OPS, WORD
 
 SEL_OPS = OPS  # one selector column per op
 
+# ---- Poseidon-GL coprocessor layout (memory continuations) ----
+# one permutation block = 8 absorb rows | init row | 30 round-transition
+# rows; the final state row doubles as the last transition's target
+_PBLK = 39
+_PABS = 8          # absorb rows per block (sponge rate)
+_PROUNDS = 30
+
+
+def _pos_round(state: list[int], j: int) -> list[int]:
+    """One non-opt Poseidon-GL round (the POSEIDON12 gate's round function,
+    recursion/circuit.py poseidon): s1 = st + CP[j]; sbox lane 0 always,
+    all lanes on full rounds; out = MDS * s."""
+    from ..recursion.circuit import P as _P, _poseidon_tables
+
+    CP, MDS = _poseidon_tables()
+    s1 = [(state[i] + CP[j][i]) % _P for i in range(12)]
+    partial = 4 <= j < 26
+    sr = [pow(s1[0], 7, _P)] + [
+        s1[i] if partial else pow(s1[i], 7, _P) for i in range(1, 12)]
+    return [sum(MDS[i][k] * sr[k] for k in range(12)) % _P
+            for i in range(12)]
+
+
+def ram_digest(words) -> list[int]:
+    """Host-side image digest, bit-identical to the in-trace coprocessor:
+    rate-8 sponge of non-opt Poseidon permutations, capacity chained from
+    the previous block's output lanes 0..3; digest = final lanes 0..3."""
+    words = [int(w) for w in words]
+    assert len(words) % _PABS == 0
+    cap = [0, 0, 0, 0]
+    for k in range(0, len(words), _PABS):
+        st = words[k : k + _PABS] + cap
+        for j in range(_PROUNDS):
+            st = _pos_round(st, j)
+        cap = st[:4]
+    return cap
+
 
 class MiniRVMachine:
-    """PIL + constant pols for a fixed (program, tape-capacity) pair."""
+    """PIL + constant pols for a fixed (program, tape-capacity) pair.
+
+    `ram_words` enables MEMORY CONTINUATIONS (the powdr-bootloader analog,
+    reference zkvm/src/lib.rs:215-223,319-365): RAM is a fixed M-word image
+    whose incoming and outgoing snapshots are hashed INSIDE the trace by a
+    Poseidon-GL coprocessor section (31-row permutation pipelines over the
+    POSEIDON12 gate's non-opt round function), and the two digests are
+    exposed as publics chained across chunks like the register state.  The
+    memory argument reads fresh addresses out of the incoming image and a
+    touched-address permutation pins the outgoing image, so a multi-chunk
+    RAM execution is sound end-to-end."""
 
     def __init__(self, program: list[Instr], n_bits: int = 12,
-                 tape_size: int | None = None):
+                 tape_size: int | None = None,
+                 ram_words: int | None = None):
         self.program = program
         self.n_bits = n_bits
         assert n_bits <= 16, "step-difference range checks use 2 bytes"
@@ -45,6 +93,15 @@ class MiniRVMachine:
         self.has_bitwise = any(i.op in ("and", "or", "xor") for i in program)
         if self.has_bitwise:
             assert self.N >= 1024, "bitwise ops need the 768-row nibble table"
+        self.ram_words = ram_words
+        self.continuations = ram_words is not None
+        if self.continuations:
+            assert self.has_mem, "ram_words without lw/sw is pointless"
+            assert ram_words % 8 == 0, "image size must fill rate-8 blocks"
+            # two image pipelines of (M/8) blocks x 39 rows (8 absorb rows
+            # + init + 30 round transitions), ending before the wrap row
+            assert 2 * (ram_words // 8) * _PBLK + 1 < self.N, \
+                "ram_words too large for this chunk size"
         self._build_pil()
 
     def _build_pil(self):
@@ -68,6 +125,21 @@ class MiniRVMachine:
         self.c_tape_val = p.const_pol("Zkvm.TAPE_VAL")
         if self.has_mem:
             self.c_line = p.const_pol("Zkvm.LINE")
+        if self.continuations:
+            # coprocessor schedule + image table constants
+            self.c_img_addr = p.const_pol("Zkvm.IMG_ADDR")
+            self.c_img1_on = p.const_pol("Zkvm.IMG1_ON")
+            self.c_img2_on = p.const_pol("Zkvm.IMG2_ON")
+            self.c_pos_rc = p.const_pol("Zkvm.POS_RC", 12)
+            self.c_pos_full_on = p.const_pol("Zkvm.POS_FULL_ON")
+            self.c_pos_part_on = p.const_pol("Zkvm.POS_PART_ON")
+            self.c_pinit_chain = p.const_pol("Zkvm.PINIT_CHAIN")
+            self.c_pcap0 = p.const_pol("Zkvm.PCAP0")
+            self.c_pinit = p.const_pol("Zkvm.PINIT")
+            self.c_nl_pend = p.const_pol("Zkvm.NL_PEND")
+            self.c_nl_npend = p.const_pol("Zkvm.NL_NPEND")
+            self.c_nl_dig = p.const_pol("Zkvm.NL_DIG")
+            self.c_nl_ndig = p.const_pol("Zkvm.NL_NDIG")
         if self.has_bitwise:
             # nibble-pair op table: 768 rows of (tag, a, b, out) with
             # tag 0=and 1=or 2=xor (requires N >= 1024)
@@ -119,6 +191,14 @@ class MiniRVMachine:
             self.s_dinv = p.cm_pol("Zkvm.s_dinv")
             self.s_bytes_sd = p.cm_pol("Zkvm.s_bytes_sd", 2)
             self.s_bytes_ad = p.cm_pol("Zkvm.s_bytes_ad", 4)
+        if self.continuations:
+            self.m_img_w = p.cm_pol("Zkvm.img_w")        # absorb stream
+            self.m_img_out = p.cm_pol("Zkvm.img_out")    # table on IMG1 rows
+            self.m_touched = p.cm_pol("Zkvm.touched")
+            self.m_buf = p.cm_pol("Zkvm.pbuf", _PABS)    # absorb shift reg
+            self.m_pst = p.cm_pol("Zkvm.pst", 12)        # poseidon state
+            self.m_cap = p.cm_pol("Zkvm.pcap", 4)        # running capacity
+            self.m_dcap = p.cm_pol("Zkvm.pdig", 4)       # digest_in capture
 
         sel = {op: p.cm(self.m_sel + i) for i, op in enumerate(SEL_OPS)}
         cm, const, num = p.cm, p.const, p.num
@@ -313,6 +393,7 @@ class MiniRVMachine:
                        "zkvm.pil", 38)
 
             im_same = p.intermediate(p.mul(im_seg, s_same))
+            self._im_same, self._is_mem = im_same, is_mem
             sd_bytes = p.lin([(1 << (8 * k), cm(self.s_bytes_sd + k))
                               for k in range(2)])
             p.identity(p.mul(im_same,
@@ -323,19 +404,37 @@ class MiniRVMachine:
 
             im_new = p.intermediate(p.mul(im_seg, p.sub(num(1), s_same)))
             im_nw = p.intermediate(p.mul(im_new, p.sub(num(1), s_iswrp)))
-            p.identity(p.mul(im_nw, s_valp), "zkvm.pil", 41)
             ad_bytes = p.lin([(1 << (8 * k), cm(self.s_bytes_ad + k))
                               for k in range(4)])
             p.identity(p.mul(im_new, p.sub(p.sub(d, num(1)), ad_bytes)),
                        "zkvm.pil", 42)
-            # the very first participating row: write, or a zero read
             im_g0 = p.intermediate(p.mul(const(self.c_l1), s_on))
             im_g0w = p.intermediate(p.mul(im_g0, p.sub(num(1), s_iswr)))
-            p.identity(p.mul(im_g0w, s_val), "zkvm.pil", 43)
+            if not self.continuations:
+                # zero-initialized RAM: the first op on a fresh address is a
+                # write, or a read returning zero
+                p.identity(p.mul(im_nw, s_valp), "zkvm.pil", 41)
+                p.identity(p.mul(im_g0w, s_val), "zkvm.pil", 43)
+            else:
+                # image-initialized RAM: a fresh-address read returns the
+                # incoming image word at that address
+                img1 = const(self.c_img1_on)
+                p.plookup(f=[s_addrp, s_valp],
+                          t=[const(self.c_img_addr), cm(self.m_img_w)],
+                          sel_f=im_nw, sel_t=img1, file_name="zkvm.pil",
+                          line=41)
+                p.plookup(f=[s_addr, s_val],
+                          t=[const(self.c_img_addr), cm(self.m_img_w)],
+                          sel_f=im_g0w, sel_t=img1, file_name="zkvm.pil",
+                          line=43)
             for arr, cnt in ((self.s_bytes_sd, 2), (self.s_bytes_ad, 4)):
                 for k in range(cnt):
                     p.plookup(f=[cm(arr + k)], t=[const(self.c_byte)],
                               file_name="zkvm.pil", line=44)
+
+        # ---- memory continuations: image table + Poseidon coprocessor ----
+        if self.continuations:
+            self._build_continuations(p, sel, not_last, llast)
 
         # continuation publics: state at the first and last row
         l1 = const(self.c_l1)
@@ -352,6 +451,113 @@ class MiniRVMachine:
 
         self.pil = p.build()
         self.const_pols = self._fill_constants()
+
+    def _build_continuations(self, p, sel, not_last, llast):
+        """Image table, absorb shift register, Poseidon round pipeline,
+        capacity chain and digest publics.  Every identity stays <= degree 2
+        (constant-product gates are precomputed constant columns)."""
+        from ..recursion.circuit import _poseidon_tables
+
+        _, MDS = _poseidon_tables()
+        cm, const, num = p.cm, p.const, p.num
+        img1, img2 = const(self.c_img1_on), const(self.c_img2_on)
+        img_addr = const(self.c_img_addr)
+        img_w = cm(self.m_img_w)
+        img_out = cm(self.m_img_out)
+        touched = cm(self.m_touched)
+        s_on = cm(self.s_on)
+
+        # image-2 absorb rows carry exactly the outgoing image table
+        # (per-address bijection: addresses are unique on both sides)
+        p.permutation(f=[img_addr, img_w], t=[img_addr, img_out],
+                      sel_f=img2, sel_t=img1, file_name="zkvm.pil", line=50)
+
+        # touched is boolean, only on image-1 rows; untouched addresses copy
+        # the incoming word to the outgoing image
+        p.identity(p.mul(touched, p.sub(num(1), touched)), "zkvm.pil", 51)
+        p.identity(p.mul(p.sub(num(1), img1), touched), "zkvm.pil", 52)
+        im_untouched = p.intermediate(
+            p.mul(p.sub(num(1), touched), p.sub(img_out, img_w)))
+        p.identity(p.mul(img1, im_untouched), "zkvm.pil", 53)
+
+        # every address segment's final value lands in the outgoing image at
+        # a touched slot (exact bijection), and the sorted side may not use
+        # the wrap row
+        im_end = p.sub(s_on, self._im_same)
+        p.identity(p.mul(llast, s_on), "zkvm.pil", 54)
+        p.permutation(f=[cm(self.s_addr), cm(self.s_val)],
+                      t=[img_addr, img_out],
+                      sel_f=im_end, sel_t=touched,
+                      file_name="zkvm.pil", line=55)
+
+        # all accessed addresses live inside the image
+        p.plookup(f=[cm(self.m_addr)], t=[img_addr],
+                  sel_f=self._is_mem, sel_t=img1,
+                  file_name="zkvm.pil", line=56)
+
+        # absorb shift register: buf_l[r] = img_w[r - 1 - l]
+        buf = [cm(self.m_buf + l) for l in range(_PABS)]
+        bufp = [cm(self.m_buf + l, True) for l in range(_PABS)]
+        p.identity(p.mul(not_last, p.sub(bufp[0], img_w)), "zkvm.pil", 57)
+        for l in range(1, _PABS):
+            p.identity(p.mul(not_last, p.sub(bufp[l], buf[l - 1])),
+                       "zkvm.pil", 57)
+
+        st = [cm(self.m_pst + i) for i in range(12)]
+        stp = [cm(self.m_pst + i, True) for i in range(12)]
+        cap = [cm(self.m_cap + j) for j in range(4)]
+        capp = [cm(self.m_cap + j, True) for j in range(4)]
+        dcap = [cm(self.m_dcap + j) for j in range(4)]
+        dcapp = [cm(self.m_dcap + j, True) for j in range(4)]
+
+        # init row: rate lanes from the shift register, capacity chained
+        # from the previous block (zeroed at each image start via PCAP0)
+        pinit = const(self.c_pinit)
+        for l in range(_PABS):
+            p.identity(p.mul(pinit, p.sub(st[l], buf[_PABS - 1 - l])),
+                       "zkvm.pil", 58)
+        for j in range(4):
+            p.identity(p.mul(const(self.c_pinit_chain),
+                             p.sub(st[8 + j], cap[j])), "zkvm.pil", 59)
+            p.identity(p.mul(const(self.c_pcap0), st[8 + j]),
+                       "zkvm.pil", 60)
+
+        # round transitions: st' = MDS * sbox(st + RC), sbox on lane 0
+        # always, all lanes on full rounds; x^7 via chained intermediates
+        rc = [const(self.c_pos_rc + i) for i in range(12)]
+        s1 = [p.add(st[i], rc[i]) for i in range(12)]
+        a7 = []
+        for i in range(12):
+            a2 = p.intermediate(p.mul(s1[i], s1[i]))
+            a4 = p.intermediate(p.mul(a2, a2))
+            a6 = p.intermediate(p.mul(a4, a2))
+            a7.append(p.intermediate(p.mul(a6, s1[i])))
+        for i in range(12):
+            full_sum = p.lin([(MDS[i][k], a7[k]) for k in range(12)])
+            p.identity(p.mul(const(self.c_pos_full_on),
+                             p.sub(stp[i], full_sum)), "zkvm.pil", 61)
+            part_sum = p.lin([(MDS[i][0], a7[0])]
+                             + [(MDS[i][k], s1[k]) for k in range(1, 12)])
+            p.identity(p.mul(const(self.c_pos_part_on),
+                             p.sub(stp[i], part_sum)), "zkvm.pil", 62)
+
+        # capacity / digest_in hold-or-capture chains
+        for j in range(4):
+            p.identity(p.add(p.mul(const(self.c_nl_npend),
+                                   p.sub(capp[j], cap[j])),
+                             p.mul(const(self.c_nl_pend),
+                                   p.sub(capp[j], st[j]))), "zkvm.pil", 63)
+            p.identity(p.add(p.mul(const(self.c_nl_ndig),
+                                   p.sub(dcapp[j], dcap[j])),
+                             p.mul(const(self.c_nl_dig),
+                                   p.sub(dcapp[j], st[j]))), "zkvm.pil", 64)
+
+        # digest publics: incoming/outgoing image digests at the last row
+        for j in range(4):
+            pub_in = p.public_input(f"mem_in{j}", dcap[j], self.N - 1)
+            p.identity(p.mul(llast, p.sub(dcap[j], pub_in)), "zkvm.pil", 65)
+            pub_out = p.public_input(f"mem_out{j}", cap[j], self.N - 1)
+            p.identity(p.mul(llast, p.sub(cap[j], pub_out)), "zkvm.pil", 66)
 
     def _fill_constants(self) -> PolsArray:
         cp = PolsArray(self.pil, PolsArray.CONSTANT)
@@ -378,6 +584,38 @@ class MiniRVMachine:
         buf[: self.tape_size, self.c_tape_on] = 1
         buf[: self.tape_size, self.c_tape_idx] = np.arange(
             self.tape_size, dtype=np.uint64)
+        if self.continuations:
+            from ..recursion.circuit import _poseidon_tables
+
+            CP, _ = _poseidon_tables()
+            nblk = self.ram_words // _PABS
+            for img in (0, 1):
+                on_col = self.c_img1_on if img == 0 else self.c_img2_on
+                for k in range(nblk):
+                    base = (img * nblk + k) * _PBLK
+                    for l in range(_PABS):
+                        buf[base + l, self.c_img_addr] = _PABS * k + l
+                        buf[base + l, on_col] = 1
+                    init = base + _PABS
+                    buf[init, self.c_pinit] = 1
+                    buf[init, self.c_pcap0 if k == 0
+                        else self.c_pinit_chain] = 1
+                    for j in range(_PROUNDS):
+                        r = init + j
+                        for i in range(12):
+                            buf[r, self.c_pos_rc + i] = CP[j][i] \
+                                % np.uint64(gl.P_INT)
+                        full = j < 4 or j >= 26
+                        buf[r, self.c_pos_full_on if full
+                            else self.c_pos_part_on] = 1
+                    end = init + _PROUNDS
+                    buf[end, self.c_nl_pend] = 1
+                    if img == 0 and k == nblk - 1:
+                        buf[end, self.c_nl_dig] = 1
+            nl = np.ones(N, dtype=np.uint64)
+            nl[N - 1] = 0
+            buf[:, self.c_nl_npend] = nl - buf[:, self.c_nl_pend]
+            buf[:, self.c_nl_ndig] = nl - buf[:, self.c_nl_dig]
         if self.has_bitwise:
             row = 0
             for tag, fn in ((0, lambda a, b: a & b), (1, lambda a, b: a | b),
@@ -399,11 +637,12 @@ class MiniRVMachine:
         for i, v in enumerate(inputs):
             buf[i, self.c_tape_val] = v % WORD
 
-    def trace(self, states, inputs=()) -> PolsArray:
+    def trace(self, states, inputs=(), image_in=None) -> PolsArray:
         """Fill the commit columns from executed machine states
         (isa.execute output); pads by spinning at the final pc.  A chunk
         that did not halt must supply exactly N states (its boundary row
-        carries the outgoing machine state)."""
+        carries the outgoing machine state).  With continuations enabled,
+        `image_in` is the incoming RAM image ([ram_words] u64)."""
         N = self.N
         assert len(states) <= N, "execution longer than the chunk"
         if not states[-1].halted and len(states) != N:
@@ -412,10 +651,13 @@ class MiniRVMachine:
         buf = cmp.buffer
         op_index = {op: i for i, op in enumerate(SEL_OPS)}
         prog = self.program
-        if self.has_mem and not states[-1].halted:
+        if self.has_mem and not states[-1].halted and not self.continuations:
             raise NotImplementedError(
-                "RAM guests must halt within one chunk (memory state is not "
-                "yet carried across continuation boundaries)")
+                "multi-chunk RAM guests need memory continuations "
+                "(pass ram_words= to MiniRVMachine)")
+        if self.continuations:
+            assert image_in is not None and len(image_in) == self.ram_words, \
+                "continuations need the incoming RAM image"
 
         rows = list(states)
         while len(rows) < N:
@@ -502,7 +744,70 @@ class MiniRVMachine:
 
         if self.has_mem:
             self._fill_sorted_mem(buf, mem_ops)
+        if self.continuations:
+            self._fill_continuations(buf, mem_ops, image_in)
         return cmp
+
+    def _fill_continuations(self, buf, mem_ops, image_in):
+        """Image tables, absorb shift register, Poseidon pipeline states,
+        capacity/digest chains."""
+        N, M = self.N, self.ram_words
+        nblk = M // _PABS
+        img_in = [int(w) for w in image_in]
+        img_out = list(img_in)
+        touched = set()
+        for addr, step, val, iswr in sorted(mem_ops, key=lambda o: o[1]):
+            assert addr < M, f"address {addr} outside the RAM image"
+            touched.add(addr)
+            if iswr:
+                img_out[addr] = val
+
+        # absorb stream + image tables
+        for img_idx, words in ((0, img_in), (1, img_out)):
+            for k in range(nblk):
+                base = (img_idx * nblk + k) * _PBLK
+                for l in range(_PABS):
+                    buf[base + l, self.m_img_w] = words[_PABS * k + l]
+        for k in range(nblk):
+            base = k * _PBLK
+            for l in range(_PABS):
+                a = _PABS * k + l
+                buf[base + l, self.m_img_out] = img_out[a]
+                buf[base + l, self.m_touched] = 1 if a in touched else 0
+
+        # shift register: buf_l[r] = img_w[r - 1 - l]
+        col = buf[:, self.m_img_w]
+        for l in range(_PABS):
+            buf[l + 1 :, self.m_buf + l] = col[: N - 1 - l]
+
+        # Poseidon pipelines + capacity/digest chains
+        cap = [0, 0, 0, 0]
+        dig_in = None
+        cap_col = np.zeros((N, 4), dtype=np.uint64)
+        dcap_col = np.zeros((N, 4), dtype=np.uint64)
+        for img_idx, words in ((0, img_in), (1, img_out)):
+            if img_idx == 1:
+                cap = [0, 0, 0, 0]
+            for k in range(nblk):
+                base = (img_idx * nblk + k) * _PBLK
+                init = base + _PABS
+                st = words[_PABS * k : _PABS * (k + 1)] + \
+                    ([0, 0, 0, 0] if k == 0 else cap)
+                for i in range(12):
+                    buf[init, self.m_pst + i] = st[i]
+                for j in range(_PROUNDS):
+                    st = _pos_round(st, j)
+                    for i in range(12):
+                        buf[init + j + 1, self.m_pst + i] = st[i]
+                cap = st[:4]
+                # capture lands on the row after the block end
+                cap_col[init + _PROUNDS + 1 :] = cap
+            if img_idx == 0:
+                dig_in = cap
+                dcap_col[(nblk - 1) * _PBLK + _PABS + _PROUNDS + 1 :] = dig_in
+        buf[:, self.m_cap : self.m_cap + 4] = cap_col
+        buf[:, self.m_dcap : self.m_dcap + 4] = dcap_col
+        self._last_digests = (dig_in, cap)
 
     def _fill_sorted_mem(self, buf, mem_ops):
         """Address/step-sorted RAM columns + helper witnesses."""
