@@ -25,6 +25,24 @@ def _host_fingerprint() -> str:
                     break
     except OSError:
         pass
+    # the backend/compile MODE is part of the key: with a remote-compile
+    # tunnel active, XLA:CPU entries may be AOT-compiled on the REMOTE host
+    # (different CPU tuning, e.g. +prefer-no-gather) — loading those in a
+    # local-CPU process produces pathologically slow executables (observed:
+    # a 30 s sharded prove degrading into a >30 min crawl).  The mode is
+    # the REGISTRATION state, decided by sitecustomize at interpreter
+    # start (_AXON_REGISTERED sentinel), NOT the env flags a conftest may
+    # have mutated afterwards — a registered process can still route
+    # compiles remotely, so it must never share a dir with pure-CPU runs.
+    tag += "|" + _os.environ.get("JAX_PLATFORMS", "")
+    tag += "|" + _os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "")
+    tag += "|reg" + ("1" if _os.environ.get("_AXON_REGISTERED") else "0")
+    try:
+        import jax as _j
+
+        tag += "|" + _j.__version__
+    except Exception:
+        pass
     return _hashlib.md5(tag.encode()).hexdigest()[:12]
 
 

@@ -29,11 +29,15 @@ _M = pnp.M.copy()          # [12,12]
 _PM = pnp.PMAT.copy()
 _S = pnp.S.copy()          # [506]
 
-# constant tables as u32 pairs (jnp)
+# constant tables as u32 pairs — NUMPY, not jnp: a module-level jnp.asarray
+# creates the default backend client at import time, which with a remote
+# (axon) accelerator tunnel blocks every import of this module on tunnel
+# liveness (and pins the constants to the wrong device).  numpy constants
+# are baked in as literals when traced under jit — same compiled code.
 def _pair_const(x):
     x = np.asarray(x, dtype=np.uint64)
-    return (jnp.asarray((x & np.uint64(0xFFFFFFFF)).astype(np.uint32)),
-            jnp.asarray((x >> np.uint64(32)).astype(np.uint32)))
+    return ((x & np.uint64(0xFFFFFFFF)).astype(np.uint32),
+            (x >> np.uint64(32)).astype(np.uint32))
 
 
 _C_FULL_A = _pair_const(_C[T : _HALF_F * T].reshape(_HALF_F - 1, T))     # rounds 1..3

@@ -24,11 +24,47 @@ from __future__ import annotations
 import os
 
 
+_probe_cache: bool | None = None
+
+
+def _tunnel_alive(timeout_s: float = 75.0) -> bool:
+    """Accelerator liveness probe in a SUBPROCESS with a hard timeout.
+
+    With a remote (axon-tunnel) accelerator, a dead tunnel makes backend
+    creation block forever inside jax.devices() — an exception handler
+    never fires.  Probing in a child process bounds the risk: only if the
+    child lists an accelerator device within the timeout does the parent
+    ever touch the backend itself.  Cached per process (including failure:
+    a dead tunnel stays dead for this prove's purposes)."""
+    global _probe_cache
+    if _probe_cache is None:
+        import subprocess
+        import sys
+
+        env = dict(os.environ)
+        env.pop("JAX_PLATFORMS", None)  # child: whatever the plugin forces
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c",
+                 "import jax; print(int(any(d.platform in ('tpu','axon')"
+                 " for d in jax.devices())))"],
+                capture_output=True, text=True, timeout=timeout_s, env=env)
+            _probe_cache = r.stdout.strip().endswith("1")
+        except Exception:
+            _probe_cache = False
+    return _probe_cache
+
+
 def _device_present() -> bool:
     try:
         import jax
+        from jax._src import xla_bridge as _xb
 
-        return any(d.platform in ("tpu", "axon") for d in jax.devices())
+        if _xb.backends_are_initialized():
+            return any(d.platform in ("tpu", "axon") for d in jax.devices())
+        # backends not initialized yet: never risk a blocking first dial
+        return _tunnel_alive() and any(
+            d.platform in ("tpu", "axon") for d in jax.devices())
     except Exception:
         return False
 
@@ -44,7 +80,7 @@ def accel_active() -> bool:
         dd = jax.config.jax_default_device
         if dd is not None:
             return getattr(dd, "platform", "cpu") in ("tpu", "axon")
-        return any(d.platform in ("tpu", "axon") for d in jax.devices())
+        return _device_present()
     except Exception:
         return False
 
