@@ -276,7 +276,26 @@ def _trace_segment(si, segment, dom: str, nbits: int, nbits_ext: int,
         raise ValueError(f"Invalid reference type get {t}")
 
     written = set()
-    for sec in segment.first:
+    # Optional fusion-window cap (see _segment_compiler_options for the
+    # default XLA:CPU mitigation): a periodic optimization_barrier over
+    # every live value bounds how deep any fusion pass can look.  Off by
+    # default — the TPU pipeline's cost-modeled fusion handles these
+    # graphs, and on CPU the pass is disabled outright instead.
+    barrier_every = int(os.environ.get("EIGEN_ZKVM_VM_BARRIER", "0"))
+
+    def _barrier_all():
+        nonlocal bufs, tmps
+        names = sorted(bufs)
+        keys = sorted(tmps)
+        flat = [bufs[s] for s in names] + [tmps[k][0] for k in keys]
+        flat = jax.lax.optimization_barrier(flat)
+        bufs = dict(zip(names, flat[: len(names)]))
+        tmps = {k: (v, tmps[k][1])
+                for k, v in zip(keys, flat[len(names):])}
+
+    for opno, sec in enumerate(segment.first):
+        if barrier_every and opno and opno % barrier_every == 0:
+            _barrier_all()
         if sec.op in ("add", "sub", "mul"):
             a, da = read(sec.src[0])
             b, db = read(sec.src[1])
@@ -326,6 +345,23 @@ def _trace_segment(si, segment, dom: str, nbits: int, nbits_ext: int,
 
 
 _jit_cache: dict = {}
+
+
+def _segment_compiler_options() -> dict | None:
+    """XLA:CPU cannot compile the segment programs with instruction fusion
+    enabled: fusion clones a producer into each consumer, and the
+    vc-compression Horner fold (one multiply of the accumulator per
+    identity) makes the cloning compound per level — the compiled code's
+    WORK grows exponentially in identity count (measured: the 16-identity
+    chain AIR's step42ns runs 9 ms with fusion off and does not finish in
+    20+ minutes with it on; jaxpr size is linear either way).  The TPU
+    pipeline's cost-modeled fusion does not have this pathology, so only
+    CPU-backed compiles drop the pass."""
+    import jax
+
+    if jax.default_backend() == "cpu":
+        return {"xla_disable_hlo_passes": "fusion"}
+    return None
 
 
 def _split64(a: np.ndarray):
@@ -495,7 +531,8 @@ def execute_segment(ctx, segment, dom: str):
     fn = ent[1] if ent is not None and ent[0] is segment else None
     if fn is None:
         fn = jax.jit(lambda st: _trace_segment(
-            si, segment, dom, ctx.nbits, ctx.nbits_ext, st, ma))
+            si, segment, dom, ctx.nbits, ctx.nbits_ext, st, ma),
+            compiler_options=_segment_compiler_options())
         _jit_cache[key] = (segment, fn)
     out = fn(state)
     resident = getattr(getattr(ctx, "engine", None), "device_resident", False)
