@@ -24,49 +24,15 @@ import numpy as np
 from ..fields import gl64 as gl
 from ..stark.pil_builder import PilBuilder
 from ..stark.polsarray import PolsArray
+from . import continuations
+from .continuations import _PABS, _PBLK, _PROUNDS, ram_digest  # noqa: F401
 from .isa import Instr, N_REGS, OPS, WORD
 
 SEL_OPS = OPS  # one selector column per op
 
-# ---- Poseidon-GL coprocessor layout (memory continuations) ----
-# one permutation block = 8 absorb rows | init row | 30 round-transition
-# rows; the final state row doubles as the last transition's target
-_PBLK = 39
-_PABS = 8          # absorb rows per block (sponge rate)
-_PROUNDS = 30
-
-
-def _pos_round(state: list[int], j: int) -> list[int]:
-    """One non-opt Poseidon-GL round (the POSEIDON12 gate's round function,
-    recursion/circuit.py poseidon): s1 = st + CP[j]; sbox lane 0 always,
-    all lanes on full rounds; out = MDS * s."""
-    from ..recursion.circuit import P as _P, _poseidon_tables
-
-    CP, MDS = _poseidon_tables()
-    s1 = [(state[i] + CP[j][i]) % _P for i in range(12)]
-    partial = 4 <= j < 26
-    sr = [pow(s1[0], 7, _P)] + [
-        s1[i] if partial else pow(s1[i], 7, _P) for i in range(1, 12)]
-    return [sum(MDS[i][k] * sr[k] for k in range(12)) % _P
-            for i in range(12)]
-
-
-def ram_digest(words) -> list[int]:
-    """Host-side image digest, bit-identical to the in-trace coprocessor:
-    rate-8 sponge of non-opt Poseidon permutations, capacity chained from
-    the previous block's output lanes 0..3; digest = final lanes 0..3."""
-    words = [int(w) for w in words]
-    assert len(words) % _PABS == 0
-    cap = [0, 0, 0, 0]
-    for k in range(0, len(words), _PABS):
-        st = words[k : k + _PABS] + cap
-        for j in range(_PROUNDS):
-            st = _pos_round(st, j)
-        cap = st[:4]
-    return cap
-
-
 class MiniRVMachine:
+    NS = "Zkvm"  # PIL namespace (shared continuation columns use it)
+
     """PIL + constant pols for a fixed (program, tape-capacity) pair.
 
     `ram_words` enables MEMORY CONTINUATIONS (the powdr-bootloader analog,
@@ -100,7 +66,7 @@ class MiniRVMachine:
             assert ram_words % 8 == 0, "image size must fill rate-8 blocks"
             # two image pipelines of (M/8) blocks x 39 rows (8 absorb rows
             # + init + 30 round transitions), ending before the wrap row
-            assert 2 * (ram_words // 8) * _PBLK + 1 < self.N, \
+            assert continuations.rows_needed(ram_words) + 1 < self.N, \
                 "ram_words too large for this chunk size"
         self._build_pil()
 
@@ -126,20 +92,7 @@ class MiniRVMachine:
         if self.has_mem:
             self.c_line = p.const_pol("Zkvm.LINE")
         if self.continuations:
-            # coprocessor schedule + image table constants
-            self.c_img_addr = p.const_pol("Zkvm.IMG_ADDR")
-            self.c_img1_on = p.const_pol("Zkvm.IMG1_ON")
-            self.c_img2_on = p.const_pol("Zkvm.IMG2_ON")
-            self.c_pos_rc = p.const_pol("Zkvm.POS_RC", 12)
-            self.c_pos_full_on = p.const_pol("Zkvm.POS_FULL_ON")
-            self.c_pos_part_on = p.const_pol("Zkvm.POS_PART_ON")
-            self.c_pinit_chain = p.const_pol("Zkvm.PINIT_CHAIN")
-            self.c_pcap0 = p.const_pol("Zkvm.PCAP0")
-            self.c_pinit = p.const_pol("Zkvm.PINIT")
-            self.c_nl_pend = p.const_pol("Zkvm.NL_PEND")
-            self.c_nl_npend = p.const_pol("Zkvm.NL_NPEND")
-            self.c_nl_dig = p.const_pol("Zkvm.NL_DIG")
-            self.c_nl_ndig = p.const_pol("Zkvm.NL_NDIG")
+            continuations.declare_consts(self, p)
         if self.has_bitwise:
             # nibble-pair op table: 768 rows of (tag, a, b, out) with
             # tag 0=and 1=or 2=xor (requires N >= 1024)
@@ -192,13 +145,7 @@ class MiniRVMachine:
             self.s_bytes_sd = p.cm_pol("Zkvm.s_bytes_sd", 2)
             self.s_bytes_ad = p.cm_pol("Zkvm.s_bytes_ad", 4)
         if self.continuations:
-            self.m_img_w = p.cm_pol("Zkvm.img_w")        # absorb stream
-            self.m_img_out = p.cm_pol("Zkvm.img_out")    # table on IMG1 rows
-            self.m_touched = p.cm_pol("Zkvm.touched")
-            self.m_buf = p.cm_pol("Zkvm.pbuf", _PABS)    # absorb shift reg
-            self.m_pst = p.cm_pol("Zkvm.pst", 12)        # poseidon state
-            self.m_cap = p.cm_pol("Zkvm.pcap", 4)        # running capacity
-            self.m_dcap = p.cm_pol("Zkvm.pdig", 4)       # digest_in capture
+            continuations.declare_commits(self, p)
 
         sel = {op: p.cm(self.m_sel + i) for i, op in enumerate(SEL_OPS)}
         cm, const, num = p.cm, p.const, p.num
@@ -347,7 +294,12 @@ class MiniRVMachine:
         # native analog of powdr's memory machine (reference zkvm guests
         # get RAM from powdr-asm).  Degrees stay <= 2 via intermediates.
         if self.has_mem:
-            is_mem = p.add(sel["lw"], sel["sw"])
+            # a lw/sw on the WRAP row is the boundary snapshot of a chunk
+            # that ends mid-program — the op executes as row 0 of the NEXT
+            # chunk, so every execution-side memory constraint is gated by
+            # is_mem*not_last (committed intermediate to stay degree <= 2)
+            is_mem = p.intermediate(p.mul(p.add(sel["lw"], sel["sw"]),
+                                          not_last))
             addr, ac = cm(self.m_addr), cm(self.m_ac)
             p.identity(p.mul(ac, p.sub(num(1), ac)), "zkvm.pil", 30)
             p.identity(p.mul(is_mem,
@@ -434,7 +386,7 @@ class MiniRVMachine:
 
         # ---- memory continuations: image table + Poseidon coprocessor ----
         if self.continuations:
-            self._build_continuations(p, sel, not_last, llast)
+            continuations.build(self, p, not_last, llast)
 
         # continuation publics: state at the first and last row
         l1 = const(self.c_l1)
@@ -451,113 +403,6 @@ class MiniRVMachine:
 
         self.pil = p.build()
         self.const_pols = self._fill_constants()
-
-    def _build_continuations(self, p, sel, not_last, llast):
-        """Image table, absorb shift register, Poseidon round pipeline,
-        capacity chain and digest publics.  Every identity stays <= degree 2
-        (constant-product gates are precomputed constant columns)."""
-        from ..recursion.circuit import _poseidon_tables
-
-        _, MDS = _poseidon_tables()
-        cm, const, num = p.cm, p.const, p.num
-        img1, img2 = const(self.c_img1_on), const(self.c_img2_on)
-        img_addr = const(self.c_img_addr)
-        img_w = cm(self.m_img_w)
-        img_out = cm(self.m_img_out)
-        touched = cm(self.m_touched)
-        s_on = cm(self.s_on)
-
-        # image-2 absorb rows carry exactly the outgoing image table
-        # (per-address bijection: addresses are unique on both sides)
-        p.permutation(f=[img_addr, img_w], t=[img_addr, img_out],
-                      sel_f=img2, sel_t=img1, file_name="zkvm.pil", line=50)
-
-        # touched is boolean, only on image-1 rows; untouched addresses copy
-        # the incoming word to the outgoing image
-        p.identity(p.mul(touched, p.sub(num(1), touched)), "zkvm.pil", 51)
-        p.identity(p.mul(p.sub(num(1), img1), touched), "zkvm.pil", 52)
-        im_untouched = p.intermediate(
-            p.mul(p.sub(num(1), touched), p.sub(img_out, img_w)))
-        p.identity(p.mul(img1, im_untouched), "zkvm.pil", 53)
-
-        # every address segment's final value lands in the outgoing image at
-        # a touched slot (exact bijection), and the sorted side may not use
-        # the wrap row
-        im_end = p.sub(s_on, self._im_same)
-        p.identity(p.mul(llast, s_on), "zkvm.pil", 54)
-        p.permutation(f=[cm(self.s_addr), cm(self.s_val)],
-                      t=[img_addr, img_out],
-                      sel_f=im_end, sel_t=touched,
-                      file_name="zkvm.pil", line=55)
-
-        # all accessed addresses live inside the image
-        p.plookup(f=[cm(self.m_addr)], t=[img_addr],
-                  sel_f=self._is_mem, sel_t=img1,
-                  file_name="zkvm.pil", line=56)
-
-        # absorb shift register: buf_l[r] = img_w[r - 1 - l]
-        buf = [cm(self.m_buf + l) for l in range(_PABS)]
-        bufp = [cm(self.m_buf + l, True) for l in range(_PABS)]
-        p.identity(p.mul(not_last, p.sub(bufp[0], img_w)), "zkvm.pil", 57)
-        for l in range(1, _PABS):
-            p.identity(p.mul(not_last, p.sub(bufp[l], buf[l - 1])),
-                       "zkvm.pil", 57)
-
-        st = [cm(self.m_pst + i) for i in range(12)]
-        stp = [cm(self.m_pst + i, True) for i in range(12)]
-        cap = [cm(self.m_cap + j) for j in range(4)]
-        capp = [cm(self.m_cap + j, True) for j in range(4)]
-        dcap = [cm(self.m_dcap + j) for j in range(4)]
-        dcapp = [cm(self.m_dcap + j, True) for j in range(4)]
-
-        # init row: rate lanes from the shift register, capacity chained
-        # from the previous block (zeroed at each image start via PCAP0)
-        pinit = const(self.c_pinit)
-        for l in range(_PABS):
-            p.identity(p.mul(pinit, p.sub(st[l], buf[_PABS - 1 - l])),
-                       "zkvm.pil", 58)
-        for j in range(4):
-            p.identity(p.mul(const(self.c_pinit_chain),
-                             p.sub(st[8 + j], cap[j])), "zkvm.pil", 59)
-            p.identity(p.mul(const(self.c_pcap0), st[8 + j]),
-                       "zkvm.pil", 60)
-
-        # round transitions: st' = MDS * sbox(st + RC), sbox on lane 0
-        # always, all lanes on full rounds; x^7 via chained intermediates
-        rc = [const(self.c_pos_rc + i) for i in range(12)]
-        s1 = [p.add(st[i], rc[i]) for i in range(12)]
-        a7 = []
-        for i in range(12):
-            a2 = p.intermediate(p.mul(s1[i], s1[i]))
-            a4 = p.intermediate(p.mul(a2, a2))
-            a6 = p.intermediate(p.mul(a4, a2))
-            a7.append(p.intermediate(p.mul(a6, s1[i])))
-        for i in range(12):
-            full_sum = p.lin([(MDS[i][k], a7[k]) for k in range(12)])
-            p.identity(p.mul(const(self.c_pos_full_on),
-                             p.sub(stp[i], full_sum)), "zkvm.pil", 61)
-            part_sum = p.lin([(MDS[i][0], a7[0])]
-                             + [(MDS[i][k], s1[k]) for k in range(1, 12)])
-            p.identity(p.mul(const(self.c_pos_part_on),
-                             p.sub(stp[i], part_sum)), "zkvm.pil", 62)
-
-        # capacity / digest_in hold-or-capture chains
-        for j in range(4):
-            p.identity(p.add(p.mul(const(self.c_nl_npend),
-                                   p.sub(capp[j], cap[j])),
-                             p.mul(const(self.c_nl_pend),
-                                   p.sub(capp[j], st[j]))), "zkvm.pil", 63)
-            p.identity(p.add(p.mul(const(self.c_nl_ndig),
-                                   p.sub(dcapp[j], dcap[j])),
-                             p.mul(const(self.c_nl_dig),
-                                   p.sub(dcapp[j], st[j]))), "zkvm.pil", 64)
-
-        # digest publics: incoming/outgoing image digests at the last row
-        for j in range(4):
-            pub_in = p.public_input(f"mem_in{j}", dcap[j], self.N - 1)
-            p.identity(p.mul(llast, p.sub(dcap[j], pub_in)), "zkvm.pil", 65)
-            pub_out = p.public_input(f"mem_out{j}", cap[j], self.N - 1)
-            p.identity(p.mul(llast, p.sub(cap[j], pub_out)), "zkvm.pil", 66)
 
     def _fill_constants(self) -> PolsArray:
         cp = PolsArray(self.pil, PolsArray.CONSTANT)
@@ -743,96 +588,8 @@ class MiniRVMachine:
                 buf[i, self.m_bytes_lt + k] = (low >> (8 * k)) & 0xFF
 
         if self.has_mem:
-            self._fill_sorted_mem(buf, mem_ops)
+            continuations.fill_sorted_mem(self, buf, mem_ops)
         if self.continuations:
-            self._fill_continuations(buf, mem_ops, image_in)
+            continuations.fill_trace(self, buf, mem_ops, image_in)
         return cmp
 
-    def _fill_continuations(self, buf, mem_ops, image_in):
-        """Image tables, absorb shift register, Poseidon pipeline states,
-        capacity/digest chains."""
-        N, M = self.N, self.ram_words
-        nblk = M // _PABS
-        img_in = [int(w) for w in image_in]
-        img_out = list(img_in)
-        touched = set()
-        for addr, step, val, iswr in sorted(mem_ops, key=lambda o: o[1]):
-            assert addr < M, f"address {addr} outside the RAM image"
-            touched.add(addr)
-            if iswr:
-                img_out[addr] = val
-
-        # absorb stream + image tables
-        for img_idx, words in ((0, img_in), (1, img_out)):
-            for k in range(nblk):
-                base = (img_idx * nblk + k) * _PBLK
-                for l in range(_PABS):
-                    buf[base + l, self.m_img_w] = words[_PABS * k + l]
-        for k in range(nblk):
-            base = k * _PBLK
-            for l in range(_PABS):
-                a = _PABS * k + l
-                buf[base + l, self.m_img_out] = img_out[a]
-                buf[base + l, self.m_touched] = 1 if a in touched else 0
-
-        # shift register: buf_l[r] = img_w[r - 1 - l]
-        col = buf[:, self.m_img_w]
-        for l in range(_PABS):
-            buf[l + 1 :, self.m_buf + l] = col[: N - 1 - l]
-
-        # Poseidon pipelines + capacity/digest chains
-        cap = [0, 0, 0, 0]
-        dig_in = None
-        cap_col = np.zeros((N, 4), dtype=np.uint64)
-        dcap_col = np.zeros((N, 4), dtype=np.uint64)
-        for img_idx, words in ((0, img_in), (1, img_out)):
-            if img_idx == 1:
-                cap = [0, 0, 0, 0]
-            for k in range(nblk):
-                base = (img_idx * nblk + k) * _PBLK
-                init = base + _PABS
-                st = words[_PABS * k : _PABS * (k + 1)] + \
-                    ([0, 0, 0, 0] if k == 0 else cap)
-                for i in range(12):
-                    buf[init, self.m_pst + i] = st[i]
-                for j in range(_PROUNDS):
-                    st = _pos_round(st, j)
-                    for i in range(12):
-                        buf[init + j + 1, self.m_pst + i] = st[i]
-                cap = st[:4]
-                # capture lands on the row after the block end
-                cap_col[init + _PROUNDS + 1 :] = cap
-            if img_idx == 0:
-                dig_in = cap
-                dcap_col[(nblk - 1) * _PBLK + _PABS + _PROUNDS + 1 :] = dig_in
-        buf[:, self.m_cap : self.m_cap + 4] = cap_col
-        buf[:, self.m_dcap : self.m_dcap + 4] = dcap_col
-        self._last_digests = (dig_in, cap)
-
-    def _fill_sorted_mem(self, buf, mem_ops):
-        """Address/step-sorted RAM columns + helper witnesses."""
-        assert len(mem_ops) <= self.N - 1, "too many memory ops for chunk"
-        ops = sorted(mem_ops)  # by (addr, step)
-        P_INT = gl.P_INT
-        for i, (addr, step, val, iswr) in enumerate(ops):
-            buf[i, self.s_on] = 1
-            buf[i, self.s_addr] = addr
-            buf[i, self.s_step] = step
-            buf[i, self.s_val] = val
-            buf[i, self.s_iswr] = iswr
-        for i in range(len(ops)):
-            # helpers live on row i and describe the i -> i+1 transition
-            if i + 1 < len(ops):
-                a0, s0 = ops[i][0], ops[i][1]
-                a1, s1 = ops[i + 1][0], ops[i + 1][1]
-                d = (a1 - a0) % P_INT
-                if d == 0:
-                    buf[i, self.s_same] = 1
-                    sd = s1 - s0 - 1
-                    buf[i, self.s_bytes_sd] = sd & 0xFF
-                    buf[i, self.s_bytes_sd + 1] = (sd >> 8) & 0xFF
-                else:
-                    buf[i, self.s_dinv] = pow(d, P_INT - 2, P_INT)
-                    ad = a1 - a0 - 1
-                    for k in range(4):
-                        buf[i, self.s_bytes_ad + k] = (ad >> (8 * k)) & 0xFF
