@@ -24,14 +24,50 @@ from .stark_verifier_circuit import build_main
 
 
 class StarkOption:
-    """pil2circom generation flags (reference: starky/src/pil2circom.rs:9)."""
+    """pil2circom generation flags (reference: starky/src/pil2circom.rs:9).
+
+    `chain_map` (aggregation stage only) additionally constrains the two
+    verified proofs as CONSECUTIVE continuation chunks in-circuit — see
+    ChainMap / stark_verifier_circuit.build_main."""
 
     def __init__(self, enable_input=False, verkey_input=False,
-                 skip_main=False, agg_stage=False):
+                 skip_main=False, agg_stage=False, chain_map=None):
         self.enable_input = enable_input
         self.verkey_input = verkey_input
         self.skip_main = skip_main
         self.agg_stage = agg_stage
+        self.chain_map = chain_map
+
+
+class ChainMap:
+    """Continuation binding for the aggregation Main: `pairs` equates
+    a_publics[oa] == b_publics[ib] (chunk a's out-state is chunk b's
+    in-state); `expose` selects each exposed public from ("a"|"b", idx) so
+    the aggregate carries super-chunk publics and can re-enter the fold."""
+
+    def __init__(self, pairs, expose):
+        self.pairs = list(pairs)
+        self.expose = list(expose)
+
+    @staticmethod
+    def for_machine(machine) -> "ChainMap":
+        """Derive the map from a MiniRVMachine's publics layout: every
+        `*_out` name pairs with its `*_in` twin; exposed publics take _in
+        values from chunk a, _out values from chunk b.  (The recursion
+        layer appends 4 rootC limbs to each sub proof's publics; those are
+        bound separately and stripped from the exposed set, matching
+        join_zkin.)"""
+        names = [p.name for p in machine.pil.publics]
+        idx = {n: i for i, n in enumerate(names)}
+        pairs = []
+        expose = []
+        for i, n in enumerate(names):
+            if "_out" in n:
+                pairs.append((i, idx[n.replace("_out", "_in")]))
+                expose.append(("b", i))
+            else:
+                expose.append(("a", i))
+        return ChainMap(pairs, expose)
 
 
 def compressor12_setup(zkin: dict, setup, ss, options: StarkOption,
@@ -103,10 +139,18 @@ def prove_compressed(zkin: dict, inner_setup, inner_ss, options: StarkOption,
     from ..stark.stark_gen import stark_gen
     from ..stark.stark_setup import StarkSetup
     from ..stark.stark_verify import stark_verify
+    from ..utils import structlog
 
-    circuit, psetup = compressor12_setup(zkin, inner_setup, inner_ss, options,
-                                         force_n_bits=force_n_bits)
-    cm_pols = exec_witness(circuit, psetup)
+    stage = ("c12" if options.skip_main else
+             "agg" if options.agg_stage else "recursive")
+    with structlog.span("recursion.setup", stage=stage,
+                        force_n_bits=force_n_bits):
+        circuit, psetup = compressor12_setup(zkin, inner_setup, inner_ss,
+                                             options,
+                                             force_n_bits=force_n_bits)
+    with structlog.span("recursion.exec_witness", stage=stage,
+                        nbits=psetup.n_bits):
+        cm_pols = exec_witness(circuit, psetup)
     if c12_ss is None:
         c12_ss = default_compressor_struct(psetup.n_bits, n_queries)
     assert c12_ss.nBits == psetup.n_bits, (c12_ss.nBits, psetup.n_bits)

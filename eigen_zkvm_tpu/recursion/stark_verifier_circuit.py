@@ -329,8 +329,10 @@ def build_main(zkin: dict, starkinfo, program, ss, const_root,
     if options.agg_stage:
         pubs = [b.public(int(v)) for v in zkin["publics"]]
         root_c = [b.public(int(v)) for v in zkin["rootC"]]
+        chain = getattr(options, "chain_map", None)
+        sub = {}
         for prefix in ("a_", "b_"):
-            # private per-proof inputs (unconstrained signals)
+            # per-proof inputs (bound below when a chain_map is given)
             sub_pubs = [b.wire(b.sig(int(v)))
                         for v in zkin[f"{prefix}publics"]]
             sub_root_c = [b.wire(b.sig(int(v)))
@@ -338,6 +340,29 @@ def build_main(zkin: dict, starkinfo, program, ss, const_root,
             p = ProofSignals(b, zkin, starkinfo, ss, prefix=prefix)
             v = StarkVerifierCircuit(b, starkinfo, program, ss, sub_root_c)
             v.verify(p, sub_pubs)
+            sub[prefix] = (sub_pubs, sub_root_c)
+        if chain is not None:
+            # continuation-chain binding (reference zkvm/src/lib.rs:319 —
+            # bootloader state injected into the witness): chunk a's
+            # outgoing state IS chunk b's incoming state, and the exposed
+            # publics are the super-chunk's (in from a, out from b) — a
+            # forged boundary register now fails THIS proof, not a host
+            # check.  The exposed rootC is pinned to the leaf proof's (b is
+            # always a leaf in the left-fold); a's root stays a witness
+            # input because a alternates between leaf and aggregate circuit
+            # roots — the fold driver (which produced a) pins its value,
+            # and the final proof is verified against the aggregation
+            # circuit's own const root.
+            a_pubs, a_root = sub["a_"]
+            b_pubs, b_root = sub["b_"]
+            for oa, ib in chain.pairs:
+                b.assert_eq(a_pubs[oa], b_pubs[ib])
+            assert len(chain.expose) == len(pubs), \
+                "chain_map.expose must cover the exposed publics"
+            for w, (side, idx) in zip(pubs, chain.expose):
+                b.assert_eq(w, (a_pubs if side == "a" else b_pubs)[idx])
+            for w, wb in zip(root_c, b_root):
+                b.assert_eq(w, wb)
         return b
 
     if options.skip_main:

@@ -17,6 +17,7 @@ from ..stark.stark_gen import stark_gen
 from ..stark.stark_setup import StarkSetup
 from ..stark.stark_verify import stark_verify
 from ..stark.types import StarkStruct, Step
+from ..utils import structlog
 from .isa import Instr, N_REGS, State, assemble, execute
 from .machine import MiniRVMachine
 
@@ -120,13 +121,16 @@ def zkvm_execute_and_prove(program, inputs, n_bits: int = 12,
     setup = StarkSetup(machine.const_pols, machine.pil, ss)
     proofs = []
     publics_list = []
-    for chunk in chunks:
+    for k, chunk in enumerate(chunks):
         if ram_words is not None:
             states, image_in = chunk
         else:
             states, image_in = chunk, None
-        proof, pubs = zkvm_prove_only(machine, setup, ss, states, inputs,
-                                      image_in=image_in)
+        with structlog.span("zkvm.chunk_prove", chunk=k, rows=len(states),
+                            nbits=n_bits,
+                            continuations=ram_words is not None):
+            proof, pubs = zkvm_prove_only(machine, setup, ss, states,
+                                          inputs, image_in=image_in)
         proofs.append(proof)
         publics_list.append(pubs)
     if not check_chunk_chain(publics_list,
