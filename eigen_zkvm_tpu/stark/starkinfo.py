@@ -14,9 +14,16 @@ leaf layouts (and therefore every root and the Fiat-Shamir transcript).
 """
 from __future__ import annotations
 
+import sys
 from dataclasses import dataclass, field
 
 from ..fields import gl64 as gl
+
+# wide lookup tuples (the rv32 fetch folds ~143 columns) build deeply
+# nested challenge-compression expressions; recursive clone/eval walks
+# need headroom beyond CPython's default 1000 frames
+if sys.getrecursionlimit() < 100_000:
+    sys.setrecursionlimit(100_000)
 from . import expressionops as E
 from .starkinfo_codegen import (Code, Context, ContextF, EVIdx, Index,
                                 IndexVec, Node, PolType, Section, Segment,
