@@ -21,7 +21,7 @@ from ..poly import ntt
 from .backends import get_backend
 from .engine import Engine
 from .fri import FRI, FRIProof
-from ..utils.profiler import Prof
+from ..utils.profiler import Prof, sync_enabled
 from ..utils import structlog
 from .vm import ProverContext, execute_segment
 
@@ -171,6 +171,14 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
                         nbits_ext=stark_struct.nBitsExt,
                         hash=stark_struct.verificationHashType,
                         engine=repr(ctx.engine))
+    if sync_enabled():
+        def _drain():
+            import jax
+
+            vals = list(getattr(ctx, "_tpu_cache", {}).values())
+            if vals:
+                jax.block_until_ready(vals)
+        prof.sync = _drain
     N, Next = ctx.N, ctx.Next
     extend_bits = ctx.nbits_ext - ctx.nbits
 
@@ -258,8 +266,10 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     tree3 = _extend_and_merkelize(ctx, "cm3_n", merkle_cls)
     transcript.put_root(tree3.root())
     ctx.challenges[4] = transcript.get_field()  # vc
+    prof.tick("stage3a cm3 commit")
 
     _exec_segment(ctx, program.step42ns, "2ns")
+    prof.tick("stage3b step42ns")
 
     # Q split: monomial blocks of size N, coset-unscale, recombine on ext domain
     q_dim, q_deg = starkinfo.q_dim, starkinfo.q_deg

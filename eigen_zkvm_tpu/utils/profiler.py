@@ -25,22 +25,33 @@ def enabled() -> bool:
     return bool(os.environ.get("EIGEN_ZKVM_PROFILE"))
 
 
+def sync_enabled() -> bool:
+    """EIGEN_ZKVM_SYNC=1: drain async device work at every stage tick so
+    per-stage walls attribute device time to the stage that enqueued it
+    (jax dispatch is async — without this, a slow device stage shows up as
+    a mysteriously slow LATER stage at the first blocking download)."""
+    return bool(os.environ.get("EIGEN_ZKVM_SYNC"))
+
+
 class Prof:
     """Stage ticks print with EIGEN_ZKVM_PROFILE=1 and/or emit structured
     JSON-lines records with EIGEN_ZKVM_LOG (utils/structlog.py)."""
 
-    __slots__ = ("name", "on", "pr", "t0", "last")
+    __slots__ = ("name", "on", "pr", "t0", "last", "sync")
 
     def __init__(self, name: str):
         self.name = name
         self.pr = enabled()
         self.on = self.pr or structlog.enabled()
+        self.sync = None  # callers install a device-drain (sync_enabled())
         if self.on:
             self.t0 = self.last = time.perf_counter()
 
     def tick(self, stage: str):
         if not self.on:
             return
+        if self.sync is not None:
+            self.sync()
         now = time.perf_counter()
         if self.pr:
             print(f"[profile] {self.name}: {stage}: {now - self.last:.3f}s",
