@@ -247,15 +247,26 @@ def tpu_merkelize(buf: np.ndarray | None, cache: dict | None = None,
     return tree
 
 
-@partial(jax.jit, static_argnames=("q_dim", "q_deg", "nbits", "nbits_ext"))
-def _q_split(qlo, qhi, q_dim: int, q_deg: int, nbits: int, nbits_ext: int):
+@partial(jax.jit,
+         static_argnames=("q_dim", "q_deg", "nbits", "nbits_ext", "ma"))
+def _q_split(qlo, qhi, q_dim: int, q_deg: int, nbits: int, nbits_ext: int,
+             ma=None):
     """Stage-Q on device (stark_gen.rs Q-split): iNTT the quotient over the
     ext domain, unscale each degree-N monomial block off the coset, NTT the
-    recombined [Next, q_dim*q_deg] matrix back to evaluations."""
+    recombined [Next, q_dim*q_deg] matrix back to evaluations.
+
+    Mesh layout: the quotient is only q_dim (2-3) columns wide — too narrow
+    to pol-shard — and the VM hands it over ROW-sharded.  Row-sharded NTT
+    butterflies cross shards at every stage (the partitioner would emit a
+    collective per stage), so the one sane layout is: gather once
+    (replicate), transform locally, and hand the result back row-sharded
+    for the Merkle pass."""
     import numpy as _np
     from ..fields import gl64 as _gl
 
     N = 1 << nbits
+    qlo = meshctx.replicated(qlo, ma)
+    qhi = meshctx.replicated(qhi, ma)
     qq1 = ntt_jax.intt((qlo, qhi), nbits_ext)
     shift_inv_n = _gl.exp(_gl.inv(_np.uint64(_gl.SHIFT)), N)
     blocks_lo, blocks_hi = [], []
@@ -270,13 +281,14 @@ def _q_split(qlo, qhi, q_dim: int, q_deg: int, nbits: int, nbits_ext: int):
         cur_s = _gl.mul(cur_s, shift_inv_n)
     qq2 = (jnp.concatenate(blocks_lo, axis=1),
            jnp.concatenate(blocks_hi, axis=1))
-    return ntt_jax.ntt(qq2, nbits_ext)
+    return meshctx.rows(ntt_jax.ntt(qq2, nbits_ext), ma)
 
 
 def tpu_q_split(q_pair, q_dim: int, q_deg: int, nbits: int, nbits_ext: int):
     """Device Q-split over the cached q_2ns limb pair; returns the cm4_2ns
     pair (still on device) — deposit it in the cache and merkelize from it."""
-    return _q_split(q_pair[0], q_pair[1], q_dim, q_deg, nbits, nbits_ext)
+    return _q_split(q_pair[0], q_pair[1], q_dim, q_deg, nbits, nbits_ext,
+                    ma=meshctx.active())
 
 
 def enabled() -> bool:

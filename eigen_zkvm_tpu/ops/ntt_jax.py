@@ -23,20 +23,33 @@ from ..poly import ntt as ntt_np
 from . import gl_jax as g
 
 
-def _twiddles(nbits: int):
-    """Per-stage twiddle tables (numpy u64), stage s has 2^(s-1) entries."""
-    pows = ntt_np.root_powers(nbits)
-    n = 1 << nbits
-    out = []
-    for s in range(1, nbits + 1):
-        m = 1 << s
-        half = m >> 1
-        out.append(pows[np.arange(half) * (n // m)])
-    return out
+def _bitrev_idx(nbits: int):
+    """Bit-reversal permutation as arithmetic over an iota — NO embedded
+    index table.  (A [2^21] constant array costs ~8 MB of serialized
+    program; through a remote-TPU tunnel every first execution pays the
+    program-transfer, so all big tables are computed on device.)"""
+    v = jax.lax.iota(jnp.uint32, 1 << nbits)
+    v = ((v >> 1) & jnp.uint32(0x55555555)) | ((v & jnp.uint32(0x55555555)) << 1)
+    v = ((v >> 2) & jnp.uint32(0x33333333)) | ((v & jnp.uint32(0x33333333)) << 2)
+    v = ((v >> 4) & jnp.uint32(0x0F0F0F0F)) | ((v & jnp.uint32(0x0F0F0F0F)) << 4)
+    v = ((v >> 8) & jnp.uint32(0x00FF00FF)) | ((v & jnp.uint32(0x00FF00FF)) << 8)
+    v = (v >> 16) | (v << 16)
+    return (v >> (32 - nbits)).astype(jnp.int32)
 
 
-def _bitrev(nbits: int):
-    return ntt_np._bit_reverse_indices(nbits)
+def _geo_device(base: int, nbits: int) -> g.GL:
+    """[2^nbits] powers base^i on device by doubling-concat (log-depth,
+    scalar seeds only — replaces host-embedded power tables)."""
+    lo = jnp.ones((1,), jnp.uint32)
+    hi = jnp.zeros((1,), jnp.uint32)
+    cur = int(base)
+    for _ in range(nbits):
+        s = g.mul((lo, hi), (jnp.full((1,), cur & 0xFFFFFFFF, jnp.uint32),
+                             jnp.full((1,), cur >> 32, jnp.uint32)))
+        lo = jnp.concatenate([lo, s[0]])
+        hi = jnp.concatenate([hi, s[1]])
+        cur = int(gl.mul(np.uint64(cur), np.uint64(cur)))
+    return lo, hi
 
 
 def ntt(values: g.GL, nbits: int) -> g.GL:
@@ -44,15 +57,16 @@ def ntt(values: g.GL, nbits: int) -> g.GL:
     n = 1 << nbits
     if n == 1:
         return values
-    rev = jnp.asarray(_bitrev(nbits))
+    rev = _bitrev_idx(nbits)
     lo = values[0][rev]
     hi = values[1][rev]
-    tws = _twiddles(nbits)
+    pows = _geo_device(int(gl.root_of_unity(nbits)), nbits)  # [n] w^i
     tail_shape = values[0].shape[1:]
     for s in range(1, nbits + 1):
         m = 1 << s
         half = m >> 1
-        tw = g.from_u64(tws[s - 1])
+        step = n // m
+        tw = (pows[0][: half * step : step], pows[1][: half * step : step])
         tw = (tw[0].reshape((1, half) + (1,) * len(tail_shape)),
               tw[1].reshape((1, half) + (1,) * len(tail_shape)))
         bl = lo.reshape((n // m, m) + tail_shape)
@@ -67,11 +81,17 @@ def ntt(values: g.GL, nbits: int) -> g.GL:
     return lo, hi
 
 
+def _rev_order_idx(n: int):
+    """[0, n-1, n-2, ..., 1] on device (the iNTT output reversal)."""
+    i = jax.lax.iota(jnp.int32, n)
+    return jnp.where(i == 0, 0, n - i)
+
+
 def intt(values: g.GL, nbits: int) -> g.GL:
     n = 1 << nbits
     qlo, qhi = ntt(values, nbits)
     n_inv = g.from_u64(np.uint64(gl.inv(np.uint64(n))))
-    idx = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.arange(n - 1, 0, -1, dtype=jnp.int32)])
+    idx = _rev_order_idx(n)
     return g.mul((qlo[idx], qhi[idx]), (n_inv[0], n_inv[1]))
 
 
@@ -80,10 +100,13 @@ def interpolate(values: g.GL, nbits: int, nbits_ext: int) -> g.GL:
     n = 1 << nbits
     n_ext = 1 << nbits_ext
     qlo, qhi = ntt(values, nbits)
-    idx = jnp.concatenate([jnp.zeros(1, jnp.int32), jnp.arange(n - 1, 0, -1, dtype=jnp.int32)])
+    idx = _rev_order_idx(n)
     coeffs = (qlo[idx], qhi[idx])
-    scale_np = gl.mul(ntt_np.shift_powers(nbits), gl.inv(np.uint64(n)))
-    scale = g.from_u64(scale_np)
+    # SHIFT^j * n^-1 computed on device from scalar seeds (bit-exact with
+    # gl.mul(shift_powers, inv(n)): both are canonical products mod p)
+    spow = _geo_device(int(gl.SHIFT), nbits)
+    n_inv = g.from_u64(np.uint64(gl.inv(np.uint64(n))))
+    scale = g.mul(spow, (n_inv[0], n_inv[1]))
     tail = (1,) * (values[0].ndim - 1)
     scale = (scale[0].reshape((n,) + tail), scale[1].reshape((n,) + tail))
     coeffs = g.mul(coeffs, scale)
