@@ -1,8 +1,15 @@
-"""Headline benchmark: full eSTARK prove of the fibonacci fixture (2^10 rows).
+"""Headline benchmark — ONE JSON line for the driver.
 
-Matches the reference's published bottom-layer number (starkjs/README.md:63,
-0.34 s GL eSTARK prove at 2^10 on an i9-11900).  Prints ONE JSON line:
-vs_baseline = baseline_seconds / our_seconds (>1 means faster than reference).
+Primary metric: the reference's only published number — the bottom-layer GL
+eSTARK prove of the fibonacci fixture at 2^10 (starkjs/README.md:63, 0.34 s
+on an i9-11900; vs_baseline = baseline / ours, >1 means faster).
+
+`extra` carries the TPU evidence (BASELINE.md north-star unit metrics):
+  - chain_gl_2e20x8_tpu_prove_s: a 2^20-row x 8-col eSTARK prove with the
+    device-resident engine (auto-dispatched: commit+VM+FRI on the TPU,
+    nothing large crosses the host link), self-verified
+  - poseidon_gl_hashes_per_s / ntt_butterflies_per_s: per-chip device rates
+When no accelerator is attached the extra TPU metrics are skipped.
 """
 from __future__ import annotations
 
@@ -13,7 +20,7 @@ BASELINE_S = 0.34  # reference bottom-layer GL eSTARK prove, 2^10 (starkjs/READM
 FIXTURES = "/root/reference/starky/data/"
 
 
-def main():
+def bench_fib():
     from eigen_zkvm_tpu.stark.polsarray import PolsArray
     from eigen_zkvm_tpu.stark.stark_gen import stark_gen
     from eigen_zkvm_tpu.stark.stark_setup import StarkSetup
@@ -38,12 +45,139 @@ def main():
 
     assert stark_verify(proof, setup.const_root, setup.starkinfo, ss, setup.program), \
         "benchmark proof failed verification"
+    return elapsed
+
+
+def bench_tpu_prove(nbits: int = 20, width: int = 8, reps: int = 2):
+    """Device-resident large-N prove (best of `reps` warm runs)."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from scripts.bench_big import build_chain_air
+
+    from eigen_zkvm_tpu.stark.stark_gen import stark_gen
+    from eigen_zkvm_tpu.stark.stark_setup import StarkSetup
+    from eigen_zkvm_tpu.stark.stark_verify import stark_verify
+    from eigen_zkvm_tpu.stark.types import StarkStruct, Step
+
+    pil, const_pols, cm = build_chain_air(nbits, width)
+    steps = []
+    cur = nbits + 1
+    while cur > 4:
+        steps.append(Step(cur))
+        cur -= 5
+    steps.append(Step(cur))
+    ss = StarkStruct(nBits=nbits, nBitsExt=nbits + 1, nQueries=8,
+                     verificationHashType="GL", steps=steps)
+    setup = StarkSetup(const_pols, pil, ss)
+    best = float("inf")
+    for _ in range(reps + 1):  # first run warms any cold compiles
+        t0 = time.perf_counter()
+        proof = stark_gen(cm, const_pols, setup.const_tree, setup.starkinfo,
+                          setup.program, ss)
+        best = min(best, time.perf_counter() - t0)
+    assert stark_verify(proof, setup.const_root, setup.starkinfo, ss,
+                        setup.program), "TPU proof failed verification"
+    return best
+
+
+def bench_unit_rates():
+    """Per-chip Poseidon hashes/s and NTT butterflies/s (BASELINE.md)."""
+    import jax
+    import numpy as np
+    from functools import partial
+    import jax.numpy as jnp
+
+    from eigen_zkvm_tpu.ops import ntt_jax
+    from eigen_zkvm_tpu.ops import poseidon_jax as pj
+
+    rng = np.random.default_rng(7)
+    P = 0xFFFFFFFF00000001
+    out = {}
+
+    nbits, npols = 20, 8
+    vals = rng.integers(0, 2**63, size=(1 << nbits, npols),
+                        dtype=np.uint64) % np.uint64(P)
+    lo = (vals & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+    hi = (vals >> np.uint64(32)).astype(np.uint32)
+    r = ntt_jax.interpolate_jit((lo, hi), nbits, nbits + 1)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    reps = 3
+    for _ in range(reps):
+        r = ntt_jax.interpolate_jit((lo, hi), nbits, nbits + 1)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / reps
+    n, ne = 1 << nbits, 1 << (nbits + 1)
+    out["ntt_butterflies_per_s"] = round(
+        (n // 2 * nbits + ne // 2 * (nbits + 1)) * npols / dt)
+
+    height, width = 1 << 21, 8
+    vals = rng.integers(0, 2**63, size=(height, width),
+                        dtype=np.uint64) % np.uint64(P)
+    lo = jnp.asarray((vals & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    hi = jnp.asarray((vals >> np.uint64(32)).astype(np.uint32))
+
+    @partial(jax.jit, static_argnums=(2, 3))
+    def tree(l, h, w, n):
+        levels, stack = pj.merkle_levels((l, h), w, n)
+        if stack is None:
+            return levels[-1]
+        return (stack[0][-1, :1], stack[1][-1, :1])
+
+    r = tree(lo, hi, width, height)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(reps):
+        r = tree(lo, hi, width, height)
+    jax.block_until_ready(r)
+    dt = (time.perf_counter() - t0) / reps
+    out["poseidon_gl_hashes_per_s"] = round(2 * height / dt)  # leaves+nodes
+    return out
+
+
+def bench_scaling():
+    """SPMD scaling measurement on the 8-virtual-device CPU mesh, run in a
+    subprocess (the parent may hold the single real TPU chip)."""
+    import os
+    import subprocess
+    import sys
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
+               PALLAS_AXON_REMOTE_COMPILE="0")
+    r = subprocess.run([sys.executable, "scripts/bench_scaling.py"],
+                       capture_output=True, text=True, timeout=900,
+                       env=env, cwd=here)
+    return json.loads(r.stdout.strip().splitlines()[-1])
+
+
+def main():
+    fib = bench_fib()
+    extra = {}
+    try:
+        extra["multichip_scaling"] = bench_scaling()
+    except Exception as e:
+        extra["scaling_error"] = f"{type(e).__name__}: {e}"
+    try:
+        from eigen_zkvm_tpu.stark.engine import _device_present
+
+        if _device_present():
+            from eigen_zkvm_tpu.stark.engine import Engine
+
+            t = bench_tpu_prove()
+            extra["chain_gl_2e20x8_tpu_prove_s"] = round(t, 2)
+            extra["tpu_engine"] = repr(Engine(21))
+            extra.update(bench_unit_rates())
+    except Exception as e:  # record, never break the primary metric
+        extra["tpu_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "fib_gl_2e10_estark_prove",
-        "value": round(elapsed, 4),
+        "value": round(fib, 4),
         "unit": "s",
-        "vs_baseline": round(BASELINE_S / elapsed, 4),
+        "vs_baseline": round(BASELINE_S / fib, 4),
+        "extra": extra,
     }))
 
 

@@ -1,9 +1,10 @@
 """Multi-scalar multiplication (Pippenger bucket method).
 
 Curve-generic over the add/double/zero ops passed in; instantiated for
-BN254/BLS12-381 G1 and G2.  This is the correctness engine; the TPU path
-batches bucket accumulation as vectorized Jacobian adds (see ops/ec_jax.py
-once it lands) — reference analog: bellperson's GPU multiexp
+BN254/BLS12-381 G1 and G2.  This is the correctness engine; production
+MSMs run through native/ec_curves.cpp (batch-affine counting-sort
+Pippenger) or the TPU path in ops/ec_jax.py (vectorized Jacobian bucket
+accumulation) — reference analog: bellperson's GPU multiexp
 (groth16/src/groth16.rs cuda/opencl features).
 """
 from __future__ import annotations

@@ -110,7 +110,7 @@ def main():
                           setup.program)
         print(f"verify: {time.perf_counter() - t0:.2f}s ok={ok}", flush=True)
 
-    import os
+    from eigen_zkvm_tpu.stark.engine import Engine
 
     print(json.dumps({
         "metric": f"chain_gl_2e{nb}x{w}_estark_prove",
@@ -119,8 +119,7 @@ def main():
         "trace_s": round(t_trace, 2),
         "setup_s": round(t_setup, 2),
         "verified": bool(ok),
-        "tpu_commit": bool(os.environ.get("EIGEN_ZKVM_TPU_COMMIT")),
-        "tpu_vm": bool(os.environ.get("EIGEN_ZKVM_TPU_VM")),
+        "engine": repr(Engine(nb + 1)),
     }))
 
 
