@@ -7,11 +7,25 @@
 // NL limbs each; G2: x.c0,x.c1,y.c0,y.c1), all-zero = infinity; scalars
 // u64[4].
 #include <cstdint>
+#include <cstdio>
+#include <cstdlib>
 #include <cstring>
+#include <ctime>
 #include <vector>
 #ifdef _OPENMP
 #include <omp.h>
 #endif
+
+// EIGEN_ZKVM_MSM_PROF=1: per-phase MSM timing breakdown on stderr
+static inline double msm_now() {
+    struct timespec ts;
+    clock_gettime(CLOCK_MONOTONIC, &ts);
+    return ts.tv_sec + 1e-9 * ts.tv_nsec;
+}
+static inline bool msm_prof() {
+    static const bool on = getenv("EIGEN_ZKVM_MSM_PROF") != nullptr;
+    return on;
+}
 
 #include "mont52_avx512.h"
 
@@ -686,7 +700,9 @@ static void msm_affine_impl(const std::vector<AffPt<FF>> &pts,
     };
     std::vector<Run> runs;
 
+    double t_sort = 0, t_cls = 0, t_inv = 0, t_apply = 0, t_buck = 0;
     for (int w = 0; w < n_windows; ++w) {
+        double t0 = msm_prof() ? msm_now() : 0;
         int shift = w * window;
         int limb = shift / 64;
         int off = shift % 64;
@@ -715,6 +731,7 @@ static void msm_affine_impl(const std::vector<AffPt<FF>> &pts,
         for (size_t b = 1; b < B; ++b)
             if (counts[b])
                 runs.push_back({(uint32_t)b, offs[b], counts[b]});
+        if (msm_prof()) { t_sort += msm_now() - t0; t0 = msm_now(); }
 
         // pairwise tree reduction: one shared inversion per level
         bool again = true;
@@ -744,6 +761,7 @@ static void msm_affine_impl(const std::vector<AffPt<FF>> &pts,
             }
             size_t np = p_lo.size();
             if (np == 0) break;
+            if (msm_prof()) { t_cls += msm_now() - t0; t0 = msm_now(); }
             dens.resize(np);
             pref.resize(np);
             lambdas.resize(np);
@@ -782,6 +800,7 @@ static void msm_affine_impl(const std::vector<AffPt<FF>> &pts,
                 }
                 lambdas[0] = inv;
             }
+            if (msm_prof()) { t_inv += msm_now() - t0; t0 = msm_now(); }
             size_t di = 0;
             for (size_t k = 0; k < np; ++k) {
                 const AffPt<FF> a = cur[p_lo[k]];
@@ -814,8 +833,10 @@ static void msm_affine_impl(const std::vector<AffPt<FF>> &pts,
                 o.inf = false;
             }
             for (auto &m : odd_moves) cur[m.second] = cur[m.first];
+            if (msm_prof()) { t_apply += msm_now() - t0; t0 = msm_now(); }
         }
         (void)live;
+        if (msm_prof()) t0 = msm_now();
 
         // bucket reduction (Jacobian): buckets descending
         Point<FF> running, tot;
@@ -832,7 +853,13 @@ static void msm_affine_impl(const std::vector<AffPt<FF>> &pts,
             tot = pt_add(tot, running);
         }
         partial[w] = tot;
+        if (msm_prof()) t_buck += msm_now() - t0;
     }
+    if (msm_prof())
+        fprintf(stderr,
+                "[msm] n=%zu w=%d sort=%.3f cls=%.3f inv=%.3f apply=%.3f "
+                "buck=%.3f\n",
+                n, window, t_sort, t_cls, t_inv, t_apply, t_buck);
     Point<FF> result;
     result.inf = true;
     for (int w = n_windows - 1; w >= 0; --w) {
@@ -842,6 +869,597 @@ static void msm_affine_impl(const std::vector<AffPt<FF>> &pts,
     }
     out = result;
 }
+
+// ---- IFMA-vectorized batch-affine MSM tree --------------------------------
+// Same algorithm as msm_affine_impl, with the three mul-heavy phases
+// (inversion prefix chain, apply pass, classify) running 8 pairs per
+// AVX-512 IFMA vector over the 5x52 Montgomery core.  Points live in an
+// SoA limb pool in the m52 Montgomery domain (a * 2^(52L)); the counting
+// sort moves u32 indices instead of 72-byte structs.  Measured on BN254
+// G1 at 2^20: inv 3.1 s -> ~0.3 s, apply 3.1 s -> ~0.6 s (one core).
+#ifdef HAVE_MONT52
+
+template <int L>
+static inline m52::Fv<L> gath52(const u64* base, __m512i vidx) {
+    m52::Fv<L> r;
+    for (int l = 0; l < L; ++l)
+        r.l[l] = _mm512_i64gather_epi64(
+            _mm512_add_epi64(vidx, _mm512_set1_epi64(l)),
+            (const long long*)base, 8);
+    return r;
+}
+
+template <int L>
+static inline void scat52(const m52::Fv<L>& v, u64* base, __m512i vidx) {
+    for (int l = 0; l < L; ++l)
+        _mm512_i64scatter_epi64((long long*)base,
+            _mm512_add_epi64(vidx, _mm512_set1_epi64(l)), v.l[l], 8);
+}
+
+static inline __m512i vidx_mul(const uint32_t* idx8, long long words) {
+    __m512i v = _mm512_cvtepu32_epi64(
+        _mm256_loadu_si256((const __m256i*)idx8));
+    return _mm512_mullo_epi64(v, _mm512_set1_epi64(words));
+}
+
+// {(base+0)w, (base+1)w, ..., (base+7)w}
+static inline __m512i vidx_iota(size_t base, long long w) {
+    const __m512i io = _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+    return _mm512_mullo_epi64(
+        _mm512_add_epi64(io, _mm512_set1_epi64((long long)base)),
+        _mm512_set1_epi64(w));
+}
+
+// {0, q w, 2q w, ..., 7q w}  (chunked-chain lane bases)
+static inline __m512i vidx_lane(size_t q, long long w) {
+    const __m512i io = _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+    return _mm512_mullo_epi64(io,
+                              _mm512_set1_epi64((long long)q * w));
+}
+
+// Tree policy: base-field curve (G1).  Coordinates are single Fv lanes.
+template <int NL, const FieldParams<NL>* FP, int L>
+struct TreePolG1 {
+    typedef F<NL, FP> FS;               // scalar curve field
+    typedef F<NL, FP> FQ;               // base field (== FS here)
+    typedef typename FS::T ST;          // scalar coordinate
+    typedef m52::Fv<L> V;               // 8-lane coordinate
+    static const int DEG = 1;           // Fq components per coordinate
+    static const int LW = L;
+    static const int NLW = NL;
+    static const int CW = 2 * L;        // pool words per point (X | Y)
+    static constexpr const FieldParams<NL>* FPP = FP;
+
+    static inline V mul_c(const m52::M52Params<L>& P, const V& a,
+                          const u64* c52) {
+        return m52::f_mul_const(P, a, c52);
+    }
+
+    static inline V load(const u64* pool, __m512i vidx, int off) {
+        return gath52<L>(pool, _mm512_add_epi64(vidx,
+                                                _mm512_set1_epi64(off)));
+    }
+    static inline void store(const V& v, u64* pool, __m512i vidx, int off) {
+        scat52<L>(v, pool, _mm512_add_epi64(vidx, _mm512_set1_epi64(off)));
+    }
+    static inline V mul(const m52::M52Params<L>& P, const V& a, const V& b) {
+        return m52::f_mul(P, a, b);
+    }
+    static inline V sq(const m52::M52Params<L>& P, const V& a) {
+        return m52::f_sq(P, a);
+    }
+    static inline V add(const m52::M52Params<L>& P, const V& a, const V& b) {
+        return m52::f_add(P, a, b);
+    }
+    static inline V sub(const m52::M52Params<L>& P, const V& a, const V& b) {
+        return m52::f_sub(P, a, b);
+    }
+    static inline V dbl(const m52::M52Params<L>& P, const V& a) {
+        return m52::f_dbl(P, a);
+    }
+    static inline __mmask8 is_zero(const m52::M52Params<L>& P, const V& a) {
+        return m52::f_is_zero_mod(P, a);
+    }
+    static inline V sel(__mmask8 k, const V& if0, const V& if1) {
+        return m52::f_select(k, if0, if1);
+    }
+    static inline V bcast(const u64* limbs52) {
+        V r;
+        for (int l = 0; l < L; ++l)
+            r.l[l] = _mm512_set1_epi64((long long)limbs52[l]);
+        return r;
+    }
+    // 8 lanes -> canonical scalar mont limbs (value a*2^256 given lanes
+    // hold a*2^(260) pre-multiplied by inv16 upstream — see callers)
+    static inline void lanes_out(const m52::M52Params<L>& P, const V& v,
+                                 ST* out8) {
+        u64 buf[8 * NL];
+        m52::store_4x64<NL, L>(P, v, buf, NL);
+        for (int k = 0; k < 8; ++k)
+            memcpy(out8[k].v, buf + k * NL, NL * 8);
+    }
+    static inline V lanes_in(const u64* vals, size_t stride) {
+        return m52::load_raw<NL, L>(vals, stride);
+    }
+    static inline ST s_inv(const ST& a) { return FS::inv(a); }
+    static inline ST s_mul(const ST& a, const ST& b) { return FS::mul(a, b); }
+    static inline ST s_one() { return FS::one_mont(); }
+    static inline void s_to_buf(const ST& a, u64* dst) {
+        memcpy(dst, a.v, NL * 8);
+    }
+};
+
+// Tree policy: quadratic-extension curve (G2, u^2 = -1).
+template <int NL, const FieldParams<NL>* FP, int L>
+struct TreePolG2 {
+    typedef F<NL, FP> FQ;
+    typedef F2<FQ> FS;
+    typedef typename FS::T ST;
+    typedef F2v<L> V;
+    static const int DEG = 2;
+    static const int LW = L;
+    static const int NLW = NL;
+    static const int CW = 4 * L;        // X.c0 | X.c1 | Y.c0 | Y.c1
+    static constexpr const FieldParams<NL>* FPP = FP;
+
+    static inline V mul_c(const m52::M52Params<L>& P, const V& a,
+                          const u64* c52) {
+        return {m52::f_mul_const(P, a.c0, c52),
+                m52::f_mul_const(P, a.c1, c52)};
+    }
+
+    static inline V load(const u64* pool, __m512i vidx, int off) {
+        return {gath52<L>(pool, _mm512_add_epi64(
+                                    vidx, _mm512_set1_epi64(off))),
+                gath52<L>(pool, _mm512_add_epi64(
+                                    vidx, _mm512_set1_epi64(off + L)))};
+    }
+    static inline void store(const V& v, u64* pool, __m512i vidx, int off) {
+        scat52<L>(v.c0, pool, _mm512_add_epi64(vidx,
+                                               _mm512_set1_epi64(off)));
+        scat52<L>(v.c1, pool, _mm512_add_epi64(vidx,
+                                               _mm512_set1_epi64(off + L)));
+    }
+    static inline V mul(const m52::M52Params<L>& P, const V& a, const V& b) {
+        return f2_mul(P, a, b);
+    }
+    static inline V sq(const m52::M52Params<L>& P, const V& a) {
+        return f2_sq(P, a);
+    }
+    static inline V add(const m52::M52Params<L>& P, const V& a, const V& b) {
+        return f2_add(P, a, b);
+    }
+    static inline V sub(const m52::M52Params<L>& P, const V& a, const V& b) {
+        return f2_sub(P, a, b);
+    }
+    static inline V dbl(const m52::M52Params<L>& P, const V& a) {
+        return f2_dbl(P, a);
+    }
+    static inline __mmask8 is_zero(const m52::M52Params<L>& P, const V& a) {
+        return f2_is_zero_mod(P, a);
+    }
+    static inline V sel(__mmask8 k, const V& if0, const V& if1) {
+        return f2_select(k, if0, if1);
+    }
+    static inline V bcast(const u64* limbs52) {  // c0 = const, c1 = 0
+        V r;
+        for (int l = 0; l < L; ++l) {
+            r.c0.l[l] = _mm512_set1_epi64((long long)limbs52[l]);
+            r.c1.l[l] = _mm512_setzero_si512();
+        }
+        return r;
+    }
+    static inline void lanes_out(const m52::M52Params<L>& P, const V& v,
+                                 ST* out8) {
+        u64 b0[8 * NL], b1[8 * NL];
+        m52::store_4x64<NL, L>(P, v.c0, b0, NL);
+        m52::store_4x64<NL, L>(P, v.c1, b1, NL);
+        for (int k = 0; k < 8; ++k) {
+            memcpy(out8[k].c0.v, b0 + k * NL, NL * 8);
+            memcpy(out8[k].c1.v, b1 + k * NL, NL * 8);
+        }
+    }
+    static inline V lanes_in(const u64* vals, size_t stride) {
+        // vals rows: [c0 limbs | c1 limbs] per lane
+        return {m52::load_raw<NL, L>(vals, stride),
+                m52::load_raw<NL, L>(vals + NL, stride)};
+    }
+    static inline ST s_inv(const ST& a) { return FS::inv(a); }
+    static inline ST s_mul(const ST& a, const ST& b) { return FS::mul(a, b); }
+    static inline ST s_one() { return FS::one_mont(); }
+    static inline void s_to_buf(const ST& a, u64* dst) {
+        memcpy(dst, a.c0.v, NL * 8);
+        memcpy(dst + NL, a.c1.v, NL * 8);
+    }
+};
+
+// Vectorized MSM: POL is one of the tree policies above; FF is the curve's
+// (possibly extension) field, with AffPt<FF> matching POL::ST coordinates.
+//
+// Domain bookkeeping: pool values are m52-Montgomery (a * R52, R52 =
+// 2^(52L)); inputs arrive FF-Montgomery (a * R64, R64 = 2^(64 NL)), so
+// ingest multiplies by c_shift = 2^(52L - 64NL) in m52-mont form, and
+// head extraction multiplies by its inverse before storing canonical
+// FF-mont limbs.  The batch-inversion bridge exploits that a canonical
+// dump of m52-mont IS the FF-mont encoding of a * 2^(52L - 64NL).
+template <typename POL, typename FF>
+static void msm_affine_ifma(const std::vector<AffPt<FF>>& pts,
+                            const u64* scalars, size_t n, int sbits,
+                            Point<FF>& out) {
+    using namespace m52;
+    typedef typename POL::V V;
+    typedef typename POL::ST ST;
+    typedef typename POL::FQ FQ;
+    const int L = POL::LW, NL = POL::NLW;
+    const int DEG = POL::DEG, CW = POL::CW;
+    const int EW = DEG * L;             // chain-entry u64 words
+    const int SHIFT_BITS = 52 * L - 64 * NL;
+    M52Params<L> P;
+    m52_init<POL::NLW, L>(P, POL::FPP->P);
+
+    // constants (base-field, value -> m52-mont via to_mont52_value)
+    u64 one52[L], cshift[L], c256[L], cinvs[L];
+    {
+        u64 v[NL];
+        memset(v, 0, sizeof(v));
+        v[0] = 1;
+        to_mont52_value<POL::NLW, POL::FPP, POL::LW>(v, one52);
+        v[0] = (u64)1 << SHIFT_BITS;
+        to_mont52_value<POL::NLW, POL::FPP, POL::LW>(v, cshift);
+        v[0] = 256;
+        to_mont52_value<POL::NLW, POL::FPP, POL::LW>(v, c256);
+        // inverse of the shift constant, canonical value
+        typename FQ::T sh;
+        memset(sh.v, 0, sizeof(sh.v));
+        sh.v[0] = (u64)1 << SHIFT_BITS;
+        auto invsh = FQ::from_mont(FQ::inv(FQ::to_mont(sh)));
+        to_mont52_value<POL::NLW, POL::FPP, POL::LW>(invsh.v, cinvs);
+    }
+    const V vone = POL::bcast(one52);
+
+    // window choice: with the 8-lane tree, per-point work is cheap and the
+    // scalar Jacobian bucket reduction (2 * 2^w adds/window) is the brake —
+    // measured cost ratios (bucket-add : per-point tree work) are ~5.5 for
+    // base-field curves and ~9 for quadratic extensions, which pushes the
+    // optimum 1-3 bits below the classic lg(n)-2 rule
+    int window = 4;
+    {
+        double best = 1e30;
+        const double ratio = POL::DEG == 1 ? 5.5 : 9.0;
+        for (int wc = 4; wc <= 16; ++wc) {
+            int nwc = (sbits + wc - 1) / wc;
+            double cost = (double)nwc
+                * ((double)n + ratio * (double)((size_t)1 << wc));
+            if (cost < best) {
+                best = cost;
+                window = wc;
+            }
+        }
+    }
+
+    // ---- ingest: FF-mont AffPt array -> m52 SoA pool (+8 scratch slots)
+    std::vector<u64> pts52((n + 8) * CW, 0);
+    std::vector<uint8_t> pinf(n + 8, 1);
+    {
+        const size_t strideW = sizeof(AffPt<FF>) / 8;
+        AffPt<FF> tail[8];
+        for (size_t g = 0; g < n; g += 8) {
+            const u64* base;
+            if (g + 8 <= n) {
+                base = (const u64*)&pts[g];
+            } else {
+                for (size_t k = 0; k < 8; ++k)
+                    tail[k] = pts[g + k < n ? g + k : n - 1];
+                base = (const u64*)&tail[0];
+            }
+            __m512i vdst = vidx_iota(g, CW);
+            for (int c = 0; c < 2 * DEG; ++c) {
+                Fv<L> raw = load_raw<POL::NLW, POL::LW>(base + c * NL,
+                                                        strideW);
+                Fv<L> m = f_mul_const(P, raw, cshift);
+                scat52<L>(m, pts52.data(),
+                          _mm512_add_epi64(vdst,
+                                           _mm512_set1_epi64(c * L)));
+            }
+        }
+        for (size_t i = 0; i < n; ++i) pinf[i] = pts[i].inf ? 1 : 0;
+    }
+
+    int n_windows = (sbits + window - 1) / window;
+    std::vector<Point<FF>> partial(n_windows);
+    size_t B = (size_t)1 << window;
+
+    std::vector<uint32_t> counts(B), offs(B + 1), bidx(n);
+    std::vector<u64> cur52((n + 8) * CW, 0);
+    std::vector<uint8_t> cinf(n + 8, 1);
+    const uint32_t scratch = (uint32_t)n;  // pad slot
+    size_t maxp = n / 2 + 16;
+    std::vector<u64> den52(maxp * EW), num52(maxp * EW), pref52(maxp * EW),
+        lam52(maxp * EW);
+    std::vector<uint32_t> p_lo, p_hi, p_out;
+    std::vector<uint8_t> kind(maxp);
+    std::vector<AffPt<FF>> heads;
+    struct Run {
+        uint32_t bucket, start, len;
+    };
+    std::vector<Run> runs;
+
+    double t_sort = 0, t_cls = 0, t_inv = 0, t_apply = 0, t_buck = 0;
+    for (int w = 0; w < n_windows; ++w) {
+        double t0 = msm_prof() ? msm_now() : 0;
+        int shift = w * window;
+        int limb = shift / 64;
+        int off = shift % 64;
+        std::fill(counts.begin(), counts.end(), 0u);
+        for (size_t i = 0; i < n; ++i) {
+            u64 idx = 0;
+            if (!pinf[i]) {
+                const u64* s = scalars + 4 * i;
+                idx = s[limb] >> off;
+                if (off + window > 64 && limb + 1 < 4)
+                    idx |= s[limb + 1] << (64 - off);
+                idx &= (((u64)1 << window) - 1);
+            }
+            bidx[i] = (uint32_t)idx;
+            if (idx) counts[idx]++;
+        }
+        offs[0] = 0;
+        for (size_t b = 0; b < B; ++b) offs[b + 1] = offs[b] + counts[b];
+        size_t live = offs[B];
+        {
+            std::vector<uint32_t> cursor(offs.begin(), offs.end() - 1);
+            for (size_t i = 0; i < n; ++i)
+                if (bidx[i]) {
+                    uint32_t slot = cursor[bidx[i]]++;
+                    memcpy(&cur52[(size_t)slot * CW], &pts52[i * CW],
+                           CW * 8);
+                    cinf[slot] = 0;
+                }
+        }
+        runs.clear();
+        for (size_t b = 1; b < B; ++b)
+            if (counts[b])
+                runs.push_back({(uint32_t)b, offs[b], counts[b]});
+        if (msm_prof()) { t_sort += msm_now() - t0; t0 = msm_now(); }
+
+        // pairwise tree reduction, 8 pairs per vector
+        bool again = true;
+        while (again) {
+            again = false;
+            p_lo.clear();
+            p_hi.clear();
+            p_out.clear();
+            static thread_local std::vector<std::pair<uint32_t, uint32_t>>
+                odd_moves;
+            odd_moves.clear();
+            for (auto& r : runs) {
+                if (r.len <= 1) continue;
+                uint32_t pairs = r.len / 2;
+                for (uint32_t k = 0; k < pairs; ++k) {
+                    p_lo.push_back(r.start + 2 * k);
+                    p_hi.push_back(r.start + 2 * k + 1);
+                    p_out.push_back(r.start + k);
+                }
+                if (r.len & 1)
+                    odd_moves.emplace_back(r.start + r.len - 1,
+                                           r.start + pairs);
+                r.len = pairs + (r.len & 1);
+                if (r.len > 1) again = true;
+            }
+            size_t np = p_lo.size();
+            if (np == 0) break;
+            size_t q = (np + 7) / 8;
+            size_t np8 = 8 * q;
+            while (p_lo.size() < np8) {
+                p_lo.push_back(scratch);
+                p_hi.push_back(scratch);
+                p_out.push_back(scratch);
+            }
+
+            // classify: dens/nums per pair, kind bytes
+            for (size_t k = 0; k < np8; k += 8) {
+                __m512i vlo = vidx_mul(&p_lo[k], CW);
+                __m512i vhi = vidx_mul(&p_hi[k], CW);
+                V x1 = POL::load(cur52.data(), vlo, 0);
+                V y1 = POL::load(cur52.data(), vlo, DEG * L);
+                V x2 = POL::load(cur52.data(), vhi, 0);
+                V y2 = POL::load(cur52.data(), vhi, DEG * L);
+                __mmask8 inf1 = 0, inf2 = 0;
+                for (int j = 0; j < 8; ++j) {
+                    inf1 |= (__mmask8)((cinf[p_lo[k + j]] & 1) << j);
+                    inf2 |= (__mmask8)((cinf[p_hi[k + j]] & 1) << j);
+                }
+                V dx = POL::sub(P, x2, x1);
+                V dy = POL::sub(P, y2, y1);
+                __mmask8 zdx = POL::is_zero(P, dx);
+                __mmask8 zdy = POL::is_zero(P, dy);
+                __mmask8 zy1 = POL::is_zero(P, y1);
+                __mmask8 active = (__mmask8)(~(inf1 | inf2));
+                __mmask8 dblm = (__mmask8)(zdx & zdy & active & ~zy1);
+                __mmask8 genm = (__mmask8)(active & ~zdx);
+                __mmask8 annm = (__mmask8)((zdx & active) & ~dblm);
+                V den = POL::sel(genm, vone, dx);
+                den = POL::sel(dblm, den, POL::dbl(P, y1));
+                V x1sq = POL::sq(P, x1);
+                V num = POL::sel(dblm, dy,
+                                 POL::add(P, POL::dbl(P, x1sq), x1sq));
+                __m512i vden = vidx_iota(k, EW);
+                POL::store(den, den52.data(), vden, 0);
+                POL::store(num, num52.data(), vden, 0);
+                for (int j = 0; j < 8; ++j) {
+                    uint8_t kd;
+                    __mmask8 bit = (__mmask8)(1 << j);
+                    if (inf1 & bit)
+                        kd = (inf2 & bit) ? 4 : 2;
+                    else if (inf2 & bit)
+                        kd = 3;
+                    else if (annm & bit)
+                        kd = 4;
+                    else if (dblm & bit)
+                        kd = 1;
+                    else
+                        kd = 0;
+                    kind[k + j] = kd;
+                }
+            }
+            if (msm_prof()) { t_cls += msm_now() - t0; t0 = msm_now(); }
+
+            // 8-lane prefix-product chain + one scalar batch inversion
+            V acc = vone;
+            const __m512i lanebase = vidx_lane(q, EW);
+            for (size_t t = 0; t < q; ++t) {
+                __m512i vt = _mm512_add_epi64(
+                    lanebase, _mm512_set1_epi64((long long)(t * EW)));
+                V d = POL::load(den52.data(), vt, 0);
+                acc = POL::mul(P, acc, d);
+                POL::store(acc, pref52.data(), vt, 0);
+            }
+            ST tot[8], inv8[8];
+            POL::lanes_out(P, acc, tot);
+            {
+                // batch invert 8 values with one FS inversion
+                ST pp[8];
+                pp[0] = tot[0];
+                for (int j = 1; j < 8; ++j)
+                    pp[j] = POL::s_mul(pp[j - 1], tot[j]);
+                ST iv = POL::s_inv(pp[7]);
+                for (int j = 7; j >= 1; --j) {
+                    inv8[j] = POL::s_mul(iv, pp[j - 1]);
+                    iv = POL::s_mul(iv, tot[j]);
+                }
+                inv8[0] = iv;
+            }
+            {
+                u64 buf[8 * 2 * POL::NLW];
+                for (int j = 0; j < 8; ++j)
+                    POL::s_to_buf(inv8[j], buf + j * DEG * NL);
+                V iv = POL::lanes_in(buf, DEG * NL);
+                acc = POL::mul_c(P, iv, c256);
+            }
+            // backward pass: per-entry lambda inverses
+            for (size_t t = q; t-- > 0;) {
+                __m512i vt = _mm512_add_epi64(
+                    lanebase, _mm512_set1_epi64((long long)(t * EW)));
+                V prev = t ? POL::load(
+                                 pref52.data(),
+                                 _mm512_add_epi64(
+                                     lanebase,
+                                     _mm512_set1_epi64(
+                                         (long long)((t - 1) * EW))),
+                                 0)
+                           : vone;
+                V lam = POL::mul(P, acc, prev);
+                POL::store(lam, lam52.data(), vt, 0);
+                V d = POL::load(den52.data(), vt, 0);
+                acc = POL::mul(P, acc, d);
+            }
+            if (msm_prof()) { t_inv += msm_now() - t0; t0 = msm_now(); }
+
+            // apply pass
+            for (size_t k = 0; k < np8; k += 8) {
+                __m512i vlo = vidx_mul(&p_lo[k], CW);
+                __m512i vhi = vidx_mul(&p_hi[k], CW);
+                __m512i vout = vidx_mul(&p_out[k], CW);
+                V x1 = POL::load(cur52.data(), vlo, 0);
+                V y1 = POL::load(cur52.data(), vlo, DEG * L);
+                V x2 = POL::load(cur52.data(), vhi, 0);
+                V y2 = POL::load(cur52.data(), vhi, DEG * L);
+                __m512i ve = vidx_iota(k, EW);
+                V num = POL::load(num52.data(), ve, 0);
+                V li = POL::load(lam52.data(), ve, 0);
+                V lam = POL::mul(P, num, li);
+                V x3 = POL::sub(P, POL::sub(P, POL::sq(P, lam), x1), x2);
+                V y3 = POL::sub(P, POL::mul(P, lam, POL::sub(P, x1, x3)),
+                                y1);
+                __mmask8 takeb = 0, takea = 0, toinf = 0;
+                for (int j = 0; j < 8; ++j) {
+                    uint8_t kd = kind[k + j];
+                    if (kd == 2) takeb |= (__mmask8)(1 << j);
+                    else if (kd == 3) takea |= (__mmask8)(1 << j);
+                    else if (kd == 4) toinf |= (__mmask8)(1 << j);
+                }
+                x3 = POL::sel(takeb, x3, x2);
+                y3 = POL::sel(takeb, y3, y2);
+                x3 = POL::sel(takea, x3, x1);
+                y3 = POL::sel(takea, y3, y1);
+                POL::store(x3, cur52.data(), vout, 0);
+                POL::store(y3, cur52.data(), vout, DEG * L);
+                for (int j = 0; j < 8; ++j) {
+                    uint8_t kd = kind[k + j];
+                    uint8_t fl = kd == 4
+                        ? 1
+                        : (kd == 2 ? cinf[p_hi[k + j]]
+                                   : (kd == 3 ? cinf[p_lo[k + j]] : 0));
+                    cinf[p_out[k + j]] = fl;
+                }
+            }
+            for (auto& m : odd_moves) {
+                memcpy(&cur52[(size_t)m.second * CW],
+                       &cur52[(size_t)m.first * CW], CW * 8);
+                cinf[m.second] = cinf[m.first];
+            }
+            cinf[scratch] = 1;
+            if (msm_prof()) { t_apply += msm_now() - t0; t0 = msm_now(); }
+        }
+        (void)live;
+        if (msm_prof()) t0 = msm_now();
+
+        // extract bucket heads back to FF-mont affine
+        size_t nr = runs.size();
+        heads.assign(nr, AffPt<FF>());
+        {
+            uint32_t hidx[8];
+            ST xs[8], ys[8];
+            for (size_t g = 0; g < nr; g += 8) {
+                for (size_t j = 0; j < 8; ++j)
+                    hidx[j] = g + j < nr ? runs[g + j].start : scratch;
+                __m512i vh = vidx_mul(hidx, CW);
+                V hx = POL::mul_c(P, POL::load(cur52.data(), vh, 0), cinvs);
+                V hy = POL::mul_c(P, POL::load(cur52.data(), vh, DEG * L),
+                                  cinvs);
+                POL::lanes_out(P, hx, xs);
+                POL::lanes_out(P, hy, ys);
+                for (size_t j = 0; j < 8 && g + j < nr; ++j) {
+                    heads[g + j].X = xs[j];
+                    heads[g + j].Y = ys[j];
+                    heads[g + j].inf = cinf[runs[g + j].start] != 0;
+                }
+            }
+        }
+
+        // bucket reduction (Jacobian): buckets descending
+        Point<FF> running, tot;
+        running.inf = true;
+        tot.inf = true;
+        size_t ri = nr;
+        for (size_t b = B - 1; b >= 1; --b) {
+            while (ri > 0 && runs[ri - 1].bucket > b) --ri;
+            if (ri > 0 && runs[ri - 1].bucket == b) {
+                const AffPt<FF>& a = heads[ri - 1];
+                if (!a.inf) running = pt_madd(running, a);
+                --ri;
+            }
+            tot = pt_add(tot, running);
+        }
+        partial[w] = tot;
+        if (msm_prof()) t_buck += msm_now() - t0;
+    }
+    if (msm_prof())
+        fprintf(stderr,
+                "[msm-ifma] n=%zu w=%d sort=%.3f cls=%.3f inv=%.3f "
+                "apply=%.3f buck=%.3f\n",
+                n, window, t_sort, t_cls, t_inv, t_apply, t_buck);
+    Point<FF> result;
+    result.inf = true;
+    for (int w = n_windows - 1; w >= 0; --w) {
+        if (w != n_windows - 1)
+            for (int i = 0; i < window; ++i) result = pt_double(result);
+        result = pt_add(result, partial[w]);
+    }
+    out = result;
+}
+
+#endif  // HAVE_MONT52
 
 template <typename FF>
 static void msm_impl(const std::vector<Point<FF>> &pts, const u64 *scalars,
@@ -1362,12 +1980,38 @@ static inline Point<BLSQ2> bls_l2(const u64 *p) { return g2_load<6, BLSQ, BLSQ2>
 
 MSM_FN(bn254_generic, 4, BNQ, BNQ2, bn_l1, bn_l2, bn_g1_store, bn_g2_store, 254)
 
-// BN254 public entry points: G1 fixed-base takes the 8-lane IFMA kernel
-// when the host supports it; everything else forwards to the generic path.
+// BN254 public entry points: MSM + fixed-base take the 8-lane IFMA
+// kernels when the host supports them; else the generic scalar path.
 void bn254_g1_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
+#ifdef HAVE_MONT52
+    if (have_ifma_ec() && n >= 1024) {
+        std::vector<AffPt<BNQ>> pts(n);
+        for (size_t i = 0; i < n; ++i) {
+            Point<BNQ> p = bn_l1(points + 8 * i);
+            pts[i] = {p.X, p.Y, p.inf};
+        }
+        Point<BNQ> r;
+        msm_affine_ifma<TreePolG1<4, &BN_FQ, 5>>(pts, scalars, n, 254, r);
+        bn_g1_store(r, out);
+        return;
+    }
+#endif
     bn254_generic_g1_msm(points, scalars, n, out);
 }
 void bn254_g2_msm(const u64 *points, const u64 *scalars, u64 n, u64 *out) {
+#ifdef HAVE_MONT52
+    if (have_ifma_ec() && n >= 1024) {
+        std::vector<AffPt<BNQ2>> pts(n);
+        for (size_t i = 0; i < n; ++i) {
+            Point<BNQ2> p = bn_l2(points + 16 * i);
+            pts[i] = {p.X, p.Y, p.inf};
+        }
+        Point<BNQ2> r;
+        msm_affine_ifma<TreePolG2<4, &BN_FQ, 5>>(pts, scalars, n, 254, r);
+        bn_g2_store(r, out);
+        return;
+    }
+#endif
     bn254_generic_g2_msm(points, scalars, n, out);
 }
 void bn254_g1_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
@@ -1398,10 +2042,36 @@ MSM_FN(bls12381_generic, 6, BLSQ, BLSQ2, bls_l1, bls_l2, bls_g1_store, bls_g2_st
 // (8x52-limb field form) when available
 void bls12381_g1_msm(const u64 *points, const u64 *scalars, u64 n,
                      u64 *out) {
+#ifdef HAVE_MONT52
+    if (have_ifma_ec() && n >= 1024) {
+        std::vector<AffPt<BLSQ>> pts(n);
+        for (size_t i = 0; i < n; ++i) {
+            Point<BLSQ> p = bls_l1(points + 12 * i);
+            pts[i] = {p.X, p.Y, p.inf};
+        }
+        Point<BLSQ> r;
+        msm_affine_ifma<TreePolG1<6, &BLS_FQ, 8>>(pts, scalars, n, 255, r);
+        bls_g1_store(r, out);
+        return;
+    }
+#endif
     bls12381_generic_g1_msm(points, scalars, n, out);
 }
 void bls12381_g2_msm(const u64 *points, const u64 *scalars, u64 n,
                      u64 *out) {
+#ifdef HAVE_MONT52
+    if (have_ifma_ec() && n >= 1024) {
+        std::vector<AffPt<BLSQ2>> pts(n);
+        for (size_t i = 0; i < n; ++i) {
+            Point<BLSQ2> p = bls_l2(points + 24 * i);
+            pts[i] = {p.X, p.Y, p.inf};
+        }
+        Point<BLSQ2> r;
+        msm_affine_ifma<TreePolG2<6, &BLS_FQ, 8>>(pts, scalars, n, 255, r);
+        bls_g2_store(r, out);
+        return;
+    }
+#endif
     bls12381_generic_g2_msm(points, scalars, n, out);
 }
 void bls12381_g1_fixed_batch(const u64 *base, const u64 *scalars, u64 n,
