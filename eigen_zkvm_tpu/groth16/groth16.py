@@ -222,8 +222,10 @@ def _fixed_base_all(curve, base, scalars, g1: bool):
     scalars = [int(s) % curve.R for s in scalars]
     nat = _native_ec(curve)
     if nat is not None:
+        # raw limb rows (native.RawAffine): prove-side MSMs consume them
+        # with zero marshalling; element access decodes on demand
         return (nat.g1_fixed_batch if g1 else nat.g2_fixed_batch)(
-            base, scalars)
+            base, scalars, raw=True)
     from ..curves.msm import g1_fixed_base, g2_fixed_base
     fb = g1_fixed_base(curve) if g1 else g2_fixed_base(curve)
     to_aff = curve.g1_to_affine if g1 else curve.g2_to_affine
@@ -245,11 +247,16 @@ def _msm(curve, points, scalars, g1: bool):
         return ec_jax.msm(points, [int(s) % curve.R for s in scalars])
     nat = _native_ec(curve)
     if nat is not None:
-        key = (id(points), g1)
-        ent = _msm_prep_cache.get(key)
-        if ent is None or ent[0] is not points:
-            pts = (nat.prep_g1 if g1 else nat.prep_g2)(points)
-            _msm_prep_cache[key] = ent = (points, pts)
+        from ..native import RawAffine
+
+        if isinstance(points, RawAffine):
+            ent = (points, None)  # g1_msm/g2_msm take the limbs directly
+        else:
+            key = (id(points), g1)
+            ent = _msm_prep_cache.get(key)
+            if ent is None or ent[0] is not points:
+                pts = (nat.prep_g1 if g1 else nat.prep_g2)(points)
+                _msm_prep_cache[key] = ent = (points, pts)
         # single-slot scalar cache: consecutive A/B1/B2 MSMs reuse the
         # same witness list (one slot only, so proofs don't accumulate)
         sent = _msm_prep_cache.get("sc_last")

@@ -292,6 +292,49 @@ _EC_SRC = os.path.join(_DIR, "ec_curves.cpp")
 _EC_SO = os.path.join(_DIR, "libec_curves.so")
 
 
+class RawAffine:
+    """Affine points as the native kernels' raw limb rows ([n, width*NL]
+    u64, little-endian; all-zero row = infinity).  Sequence of decoded
+    points on demand (tuple for G1, coefficient pairs for G2) — the
+    fixed-base batches return this so MSMs over proving-key queries skip
+    the bigint <-> limb marshalling round-trip entirely."""
+
+    def __init__(self, limbs: np.ndarray, n_limbs: int, width: int):
+        self.limbs = limbs
+        self.n_limbs = n_limbs
+        self.width = width
+
+    def __len__(self):
+        return self.limbs.shape[0]
+
+    def __getitem__(self, i):
+        if isinstance(i, slice):
+            return RawAffine(self.limbs[i], self.n_limbs, self.width)
+        row = self.limbs[i]  # IndexError past the end ends iteration
+        n = self.n_limbs
+        coords = [sum(int(row[j * n + k]) << (64 * k) for k in range(n))
+                  for j in range(self.width)]
+        if all(c == 0 for c in coords):
+            return None
+        if self.width == 2:
+            return (coords[0], coords[1])
+        return ((coords[0], coords[1]), (coords[2], coords[3]))
+
+    def __eq__(self, other):
+        try:
+            if len(other) != len(self):
+                return False
+            return all(self[i] == other[i] for i in range(len(self)))
+        except TypeError:
+            return NotImplemented
+
+    def __getstate__(self):
+        return (self.limbs, self.n_limbs, self.width)
+
+    def __setstate__(self, st):
+        self.limbs, self.n_limbs, self.width = st
+
+
 class _EcCurve:
     """One curve's G1/G2 MSM + fixed-base batches + Fr NTT quotient
     (native/ec_curves.cpp; symbol prefix selects BN254 or BLS12-381)."""
@@ -350,8 +393,10 @@ class _EcCurve:
              for p in points], 4)
 
     def g1_msm(self, points, scalars, pts: np.ndarray | None = None):
-        """points: affine (x, y) pairs or None; returns affine or None."""
-        if pts is None:
+        """points: affine (x, y) pairs / None entries, or a RawAffine."""
+        if isinstance(points, RawAffine):
+            pts = np.ascontiguousarray(points.limbs)
+        elif pts is None:
             pts = self.prep_g1(points)
         sc = self._scalars(scalars)
         out = np.zeros(2 * self._n, dtype=np.uint64)
@@ -360,7 +405,9 @@ class _EcCurve:
         return tuple(r) if r else None
 
     def g2_msm(self, points, scalars, pts: np.ndarray | None = None):
-        if pts is None:
+        if isinstance(points, RawAffine):
+            pts = np.ascontiguousarray(points.limbs)
+        elif pts is None:
             pts = self.prep_g2(points)
         sc = self._scalars(scalars)
         out = np.zeros(4 * self._n, dtype=np.uint64)
@@ -368,11 +415,13 @@ class _EcCurve:
         r = self._unlimb(out, 4)
         return ((r[0], r[1]), (r[2], r[3])) if r else None
 
-    def g1_fixed_batch(self, base, scalars):
+    def g1_fixed_batch(self, base, scalars, raw: bool = False):
         b = self._limbs([(base[0], base[1])], 2)[0].copy()
         sc = self._scalars(scalars)
         out = np.zeros((len(scalars), 2 * self._n), dtype=np.uint64)
         self._g1_fixed(_ptr(b), _ptr(sc), len(scalars), _ptr(out))
+        if raw:
+            return RawAffine(out, self._n, 2)
         res = []
         for i in range(len(scalars)):
             r = self._unlimb(out[i], 2)
@@ -411,12 +460,14 @@ class _EcCurve:
         return [int(out[i, 0]) | int(out[i, 1]) << 64 | int(out[i, 2]) << 128
                 | int(out[i, 3]) << 192 for i in range(n)]
 
-    def g2_fixed_batch(self, base, scalars):
+    def g2_fixed_batch(self, base, scalars, raw: bool = False):
         b = self._limbs([(base[0][0], base[0][1], base[1][0], base[1][1])],
                         4)[0].copy()
         sc = self._scalars(scalars)
         out = np.zeros((len(scalars), 4 * self._n), dtype=np.uint64)
         self._g2_fixed(_ptr(b), _ptr(sc), len(scalars), _ptr(out))
+        if raw:
+            return RawAffine(out, self._n, 4)
         res = []
         for i in range(len(scalars)):
             r = self._unlimb(out[i], 4)

@@ -2133,10 +2133,225 @@ static void ntt_inplace(typename FR::T *buf, size_t n,
     }
 }
 
-template <typename FR>
+// ---- IFMA-vectorized scalar-field NTT (the Groth16 quotient's 7 big
+// transforms).  Values live in limb-major 52-bit planes (plane l holds
+// limb l of every element) so the butterflies of every stage with
+// half >= 8 are CONTIGUOUS vector loads — no gathers; the three small
+// stages gather across 8 blocks at stride m.  Elements stay in the
+// "sigma encoding" (x stored as x * 2^(64NL) split to 52-bit limbs);
+// twiddles/scales are prepared in m52-mont form (t * 2^(52L)) so one
+// f_mul keeps the encoding: (x sig)(t rho)rho^-1 = (x t) sig.
+#ifdef HAVE_MONT52
+
+template <int NL, const FieldParams<NL>* FP, int L>
+struct Ntt52 {
+    typedef F<NL, FP> FR;
+    typedef typename FR::T T;
+    size_t n;
+    std::vector<u64> tw, twi;     // per-stage twiddles (m52-mont)
+    std::vector<size_t> stage_off;
+    m52::M52Params<L> P;
+    u64 c_sigma[L];   // m52-mont(sigma): canonical -> sigma encoding
+    u64 c_fix[L];     // m52-mont(2^s), s = 52L-64NL: sig^2 product fix,
+                      // and sigma-encoding -> m52-mont converter
+    u64 c_dec[L];     // raw 2^s: sigma encoding -> canonical
+
+    explicit Ntt52(size_t n_, const T& w_mont) : n(n_) {
+        m52::m52_init<NL, L>(P, FP->P);
+        to_mont52_value<NL, FP, L>(FP->ONE, c_sigma);
+        u64 v[NL];
+        memset(v, 0, sizeof(v));
+        v[0] = (u64)1 << (52 * L - 64 * NL);
+        to_mont52_value<NL, FP, L>(v, c_fix);
+        m52::split52<NL, L>(v, c_dec);
+        T wi = FR::one_mont();
+        {
+            T cur = w_mont;
+            for (u64 k = n - 1; k; k >>= 1) {
+                if (k & 1) wi = FR::mul(wi, cur);
+                cur = FR::mul(cur, cur);
+            }
+        }
+        size_t total = 0;
+        for (size_t m = 2; m <= n; m <<= 1) total += m >> 1;
+        tw.resize(total * L);
+        twi.resize(total * L);
+        stage_off.assign(64, 0);
+        size_t off = 0;
+        int st = 0;
+        for (size_t m = 2; m <= n; m <<= 1, ++st) {
+            stage_off[st] = off;
+            build_stage(w_mont, m, &tw[off * L]);
+            build_stage(wi, m, &twi[off * L]);
+            off += m >> 1;
+        }
+    }
+
+    // tw_out[k*L..] = (w^(n/m))^k in m52-mont, k < m/2
+    void build_stage(const T& w_mont, size_t m, u64* tw_out) {
+        T wm = w_mont;
+        for (size_t s = n / m; s > 1; s >>= 1) wm = FR::mul(wm, wm);
+        size_t half = m >> 1;
+        T pw = FR::one_mont();
+        for (size_t k = 0; k < 8 && k < half; ++k) {
+            auto cv = FR::from_mont(pw);
+            to_mont52_value<NL, FP, L>(cv.v, tw_out + k * L);
+            pw = FR::mul(pw, wm);
+        }
+        if (half <= 8) return;
+        u64 w8[L];
+        {
+            T w8m = FR::mul(FR::mul(wm, wm), FR::mul(wm, wm));
+            w8m = FR::mul(w8m, w8m);  // wm^8
+            auto cv = FR::from_mont(w8m);
+            to_mont52_value<NL, FP, L>(cv.v, w8);
+        }
+        for (size_t k = 8; k < half; k += 8) {
+            m52::Fv<L> prev = gath52<L>(tw_out, vidx_iota(k - 8, L));
+            m52::Fv<L> nxt = m52::f_mul_const(P, prev, w8);
+            scat52<L>(nxt, tw_out, vidx_iota(k, L));
+        }
+    }
+
+    inline m52::Fv<L> at(const u64* pl, size_t i) const {
+        m52::Fv<L> r;
+        for (int l = 0; l < L; ++l)
+            r.l[l] = _mm512_loadu_si512(&pl[(size_t)l * n + i]);
+        return r;
+    }
+    inline void put(u64* pl, size_t i, const m52::Fv<L>& v) const {
+        for (int l = 0; l < L; ++l)
+            _mm512_storeu_si512(&pl[(size_t)l * n + i], v.l[l]);
+    }
+    inline m52::Fv<L> at_s(const u64* pl, size_t i, size_t stride) const {
+        const __m512i io = _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+        __m512i vidx = _mm512_mullo_epi64(io, _mm512_set1_epi64(stride));
+        m52::Fv<L> r;
+        for (int l = 0; l < L; ++l)
+            r.l[l] = _mm512_i64gather_epi64(
+                vidx, (const long long*)&pl[(size_t)l * n + i], 8);
+        return r;
+    }
+    inline void put_s(u64* pl, size_t i, size_t stride,
+                      const m52::Fv<L>& v) const {
+        const __m512i io = _mm512_setr_epi64(0, 1, 2, 3, 4, 5, 6, 7);
+        __m512i vidx = _mm512_mullo_epi64(io, _mm512_set1_epi64(stride));
+        for (int l = 0; l < L; ++l)
+            _mm512_i64scatter_epi64((long long*)&pl[(size_t)l * n + i],
+                                    vidx, v.l[l], 8);
+    }
+
+    // raw canonical u64[NL] rows -> planes (sigma encoding)
+    void load_values(const u64* vals, u64* pl) const {
+        for (size_t i = 0; i < n; i += 8) {
+            m52::Fv<L> raw = m52::load_raw<NL, L>(vals + NL * i, NL);
+            put(pl, i, m52::f_mul_const(P, raw, c_sigma));
+        }
+    }
+    // planes -> canonical u64[NL] rows
+    void store_values(u64* out, const u64* pl) const {
+        for (size_t i = 0; i < n; i += 8) {
+            m52::Fv<L> v = m52::f_mul_const(P, at(pl, i), c_dec);
+            m52::store_4x64<NL, L>(P, v, out + NL * i, NL);
+        }
+    }
+
+    void bit_reverse(u64* pl) const {
+        for (int l = 0; l < L; ++l) {
+            u64* p = &pl[(size_t)l * n];
+            size_t j = 0;
+            for (size_t i = 1; i < n; ++i) {
+                size_t bit = n >> 1;
+                while (j & bit) { j ^= bit; bit >>= 1; }
+                j |= bit;
+                if (i < j) { u64 t = p[i]; p[i] = p[j]; p[j] = t; }
+            }
+        }
+    }
+
+    void transform(u64* pl, bool inverse) const {
+        bit_reverse(pl);
+        int st = 0;
+        for (size_t m = 2; m <= n; m <<= 1, ++st) {
+            const u64* twt =
+                (inverse ? twi.data() : tw.data()) + stage_off[st] * L;
+            size_t half = m >> 1;
+            if (half >= 8) {
+                for (size_t blk = 0; blk < n; blk += m)
+                    for (size_t k = 0; k < half; k += 8) {
+                        m52::Fv<L> tv = gath52<L>(twt, vidx_iota(k, L));
+                        m52::Fv<L> v = at(pl, blk + half + k);
+                        m52::Fv<L> t = m52::f_mul(P, v, tv);
+                        m52::Fv<L> u = at(pl, blk + k);
+                        put(pl, blk + k, m52::f_add(P, u, t));
+                        put(pl, blk + half + k, m52::f_sub(P, u, t));
+                    }
+            } else {
+                for (size_t k = 0; k < half; ++k) {
+                    m52::Fv<L> tv;
+                    for (int l = 0; l < L; ++l)
+                        tv.l[l] = _mm512_set1_epi64(
+                            (long long)twt[k * L + l]);
+                    for (size_t blk = 0; blk < n; blk += 8 * m) {
+                        m52::Fv<L> v = at_s(pl, blk + half + k, m);
+                        m52::Fv<L> t = m52::f_mul(P, v, tv);
+                        m52::Fv<L> u = at_s(pl, blk + k, m);
+                        put_s(pl, blk + k, m, m52::f_add(P, u, t));
+                        put_s(pl, blk + half + k, m,
+                              m52::f_sub(P, u, t));
+                    }
+                }
+            }
+        }
+    }
+
+    // planes[i] *= base * step^i
+    void scale_chain(u64* pl, const T& base_mont, const T& step_mont) const {
+        u64 lane0[8 * NL];
+        T p8 = base_mont;
+        for (int k = 0; k < 8; ++k) {
+            memcpy(lane0 + k * NL, p8.v, NL * 8);
+            p8 = FR::mul(p8, step_mont);
+        }
+        u64 s8[L];
+        {
+            T st8 = FR::mul(FR::mul(step_mont, step_mont),
+                            FR::mul(step_mont, step_mont));
+            st8 = FR::mul(st8, st8);  // step^8
+            auto cv = FR::from_mont(st8);
+            to_mont52_value<NL, FP, L>(cv.v, s8);
+        }
+        // FF-mont rows ARE the sigma encoding; c_fix lifts to m52-mont
+        m52::Fv<L> sc = m52::f_mul_const(
+            P, m52::load_raw<NL, L>(lane0, NL), c_fix);
+        for (size_t i = 0; i < n; i += 8) {
+            put(pl, i, m52::f_mul(P, at(pl, i), sc));
+            sc = m52::f_mul_const(P, sc, s8);
+        }
+    }
+
+    // a = (a*b - c) * zinv   (zinv canonical -> m52-mont internally)
+    void mul_sub_scale(u64* a, const u64* b, const u64* c,
+                       const T& zinv_mont) const {
+        u64 zi[L];
+        auto cv = FR::from_mont(zinv_mont);
+        to_mont52_value<NL, FP, L>(cv.v, zi);
+        for (size_t i = 0; i < n; i += 8) {
+            m52::Fv<L> ab = m52::f_mul_const(
+                P, m52::f_mul(P, at(a, i), at(b, i)), c_fix);
+            m52::Fv<L> r = m52::f_sub(P, ab, at(c, i));
+            put(a, i, m52::f_mul_const(P, r, zi));
+        }
+    }
+};
+
+#endif  // HAVE_MONT52
+
+template <int NLW, const FieldParams<NLW>* FPW>
 static void witness_h_impl(u64 *az, u64 *bz, u64 *cz, u64 n,
                            const u64 *w_limbs, const u64 *shift_limbs,
                            const u64 *zinv_limbs, u64 *out) {
+    typedef F<NLW, FPW> FR;
     typedef typename FR::T T;
     T w, shift, zinv;
     memcpy(w.v, w_limbs, 32);
@@ -2158,6 +2373,25 @@ static void witness_h_impl(u64 *az, u64 *bz, u64 *cz, u64 n,
             cur = FR::mul(cur, cur);
         }
     }
+#ifdef HAVE_MONT52
+    if (have_ifma_ec() && n >= 64) {
+        Ntt52<NLW, FPW, 5> ctx(n, w);
+        std::vector<u64> pa(5 * n), pb(5 * n), pc(5 * n);
+        ctx.load_values(az, pa.data());
+        ctx.load_values(bz, pb.data());
+        ctx.load_values(cz, pc.data());
+        for (u64* pl : {pa.data(), pb.data(), pc.data()}) {
+            ctx.transform(pl, true);
+            ctx.scale_chain(pl, n_inv, shift);
+            ctx.transform(pl, false);
+        }
+        ctx.mul_sub_scale(pa.data(), pb.data(), pc.data(), zinv);
+        ctx.transform(pa.data(), true);
+        ctx.scale_chain(pa.data(), n_inv, FR::inv(shift));
+        ctx.store_values(out, pa.data());
+        return;
+    }
+#endif
     T *a = new T[n], *b = new T[n], *c = new T[n];
 #ifdef _OPENMP
 #pragma omp parallel for schedule(static)
@@ -2255,12 +2489,12 @@ extern "C" {
 
 void bn254_fr_witness_h(u64 *az, u64 *bz, u64 *cz, u64 n, const u64 *w,
                         const u64 *shift, const u64 *zinv, u64 *out) {
-    witness_h_impl<BNR>(az, bz, cz, n, w, shift, zinv, out);
+    witness_h_impl<4, &BN_FR>(az, bz, cz, n, w, shift, zinv, out);
 }
 
 void bls12381_fr_witness_h(u64 *az, u64 *bz, u64 *cz, u64 n, const u64 *w,
                            const u64 *shift, const u64 *zinv, u64 *out) {
-    witness_h_impl<BLSR>(az, bz, cz, n, w, shift, zinv, out);
+    witness_h_impl<4, &BLS_FR>(az, bz, cz, n, w, shift, zinv, out);
 }
 
 void bn254_r1cs_eval(const u64 *indptr, const uint32_t *wires,
