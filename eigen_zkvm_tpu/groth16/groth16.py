@@ -285,21 +285,26 @@ def _r1cs_csr(nat, constraints, r):
     ent = _msm_prep_cache.get(("csr", id(constraints)))
     if ent is not None and ent[0] is constraints:
         return ent[1]
-    mats = []
+    # circuit R1CS reuses a small set of coefficient values (1, -1, gate
+    # constants) millions of times — marshal/Montgomery-convert each
+    # distinct value once and index into the table
+    uniq: dict = {}
+    per_sel = []
     for sel in range(3):
         indptr = np.empty(len(constraints) + 1, dtype=np.uint64)
         indptr[0] = 0
         wires = []
-        coefs = []
+        cidx = []
         for j, row in enumerate(constraints):
-            d = row[sel]
-            for s, c in d.items():
+            for s, c in row[sel].items():
                 wires.append(s)
-                coefs.append(c)
+                cidx.append(uniq.setdefault(c, len(uniq)))
             indptr[j + 1] = len(wires)
-        wires = np.asarray(wires, dtype=np.uint32)
-        coefs_m = nat.fr_to_mont(_int_limbs(coefs, r))
-        mats.append((indptr, wires, coefs_m))
+        per_sel.append((indptr, np.asarray(wires, dtype=np.uint32),
+                        np.asarray(cidx, dtype=np.int64)))
+    uniq_m = nat.fr_to_mont(_int_limbs(list(uniq), r))
+    mats = [(indptr, wires, np.ascontiguousarray(uniq_m[cidx]))
+            for indptr, wires, cidx in per_sel]
     _msm_prep_cache[("csr", id(constraints))] = (constraints, mats)
     return mats
 
@@ -314,20 +319,27 @@ def _witness_h(curve, constraints, witness, n_pub_total, m):
     shift = 5  # any non-subgroup element works as the coset shift
     nat = _native_ec(curve)
     if nat is not None:
+        from ..utils.profiler import Prof
+
+        prof = Prof("groth16.witness_h")
         # sparse evaluation + the whole quotient pipeline on limb arrays
         mats = _r1cs_csr(nat, constraints, r)
+        prof.tick("csr build")
         wit_l = _int_limbs(witness, r)
+        prof.tick("witness limbs")
         abz = []
         for indptr, wires, coefs_m in mats:
             vals = nat.r1cs_eval(indptr, wires, coefs_m, wit_l)
             full = np.zeros((m, 4), dtype=np.uint64)
             full[:nc] = vals
             abz.append(full)
+        prof.tick("r1cs eval")
         az_a, bz_a, cz_a = abz
         az_a[nc : nc + n_pub_total] = wit_l[:n_pub_total]
         z_coset_inv = pow((pow(shift, m, r) - 1) % r, r - 2, r)
         out = nat.fr_witness_h(az_a, bz_a, cz_a, w, shift, z_coset_inv,
                                raw=True)
+        prof.tick("quotient ntts")
         assert not out[m - 1].any(), "H degree overflow"
         return np.ascontiguousarray(out[: m - 1])
 
