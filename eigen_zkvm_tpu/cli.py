@@ -232,6 +232,48 @@ def _cmd_groth16_verify(args):
     sys.exit(0 if ok else 1)
 
 
+def _cmd_bls_wrap(args):
+    """Wrap a BN254 Groth16 proof into a BLS12-381 Groth16 proof (the
+    reference's gnark bridge: recursion-gnark/cli/src/main.rs:32-46,
+    ffi/go/eigen/recursion.go:30-82 — here fully native)."""
+    import os
+
+    from .curves import bls12_381 as bls
+    from .groth16 import groth16 as core
+    from .groth16.api import (proof_from_json, proof_to_json,
+                              publics_from_json, publics_to_json,
+                              vk_from_json, vk_to_json)
+    from .recursion.gnark_bridge import build_verifier_circuit
+
+    with open(args.vk) as f:
+        ivk = vk_from_json(f.read())
+    with open(args.proof) as f:
+        iproof = proof_from_json(f.read())
+    with open(args.public_input) as f:
+        ipubs = publics_from_json(f.read())
+    bc = build_verifier_circuit(ivk, iproof, ipubs)
+    print(f"bls_wrap: verifier circuit {len(bc.constraints)} constraints")
+    os.makedirs(args.output_dir, exist_ok=True)
+    pk_path = os.path.join(args.output_dir, "wrap_pk.bin")
+    if args.reuse_setup and os.path.exists(pk_path):
+        with open(pk_path, "rb") as f:
+            opk, ovk = pickle.load(f)
+    else:
+        opk, ovk = core.setup(bls, bc.constraints, bc.n_vars, bc.n_publics)
+        if args.reuse_setup:
+            with open(pk_path, "wb") as f:
+                pickle.dump((opk, ovk), f)
+    oproof, opubs = core.prove(bls, opk, bc.constraints, bc.w)
+    assert core.verify(bls, ovk, oproof, opubs)
+    with open(os.path.join(args.output_dir, "wrap_vk.json"), "w") as f:
+        f.write(vk_to_json(ovk))
+    with open(os.path.join(args.output_dir, "wrap_proof.json"), "w") as f:
+        f.write(proof_to_json(oproof, "bls12381"))
+    with open(os.path.join(args.output_dir, "wrap_public.json"), "w") as f:
+        f.write(publics_to_json(opubs))
+    print(f"bls_wrap -> {args.output_dir}/wrap_{{vk,proof,public}}.json")
+
+
 def _cmd_generate_verifier(args):
     from .groth16.api import generate_verifier
 
@@ -348,6 +390,16 @@ def main(argv=None):
     p.add_argument("--proof", required=True)
     p.add_argument("--public_input", required=True)
     p.set_defaults(func=_cmd_groth16_verify)
+
+    p = sub.add_parser("bls_wrap", help="wrap a BN254 Groth16 proof into a "
+                       "BLS12-381 Groth16 proof (gnark-bridge equivalent)")
+    p.add_argument("--vk", required=True)
+    p.add_argument("--proof", required=True)
+    p.add_argument("--public_input", required=True)
+    p.add_argument("--output_dir", required=True)
+    p.add_argument("--reuse_setup", action="store_true",
+                   help="cache/reuse the outer setup in output_dir")
+    p.set_defaults(func=_cmd_bls_wrap)
 
     p = sub.add_parser("generate_verifier")
     p.add_argument("--vk", required=True)
