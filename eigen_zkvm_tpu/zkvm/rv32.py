@@ -52,6 +52,65 @@ WRITES_RD = (R_FORM | I_FORM | set(LOADS.values())
              | {"lui", "auipc", "jal", "jalr"})
 
 
+def _s32i(v: int) -> int:
+    return v - WORD if v & 0x80000000 else v
+
+
+def _alu_result(op: str, ins: RvInstr, a: int, b: int, arg2: int,
+                pc: int) -> int:
+    """The register value `op` would write — RV32IM semantics over the
+    already-selected second operand (rs2 or imm).  Used to fill rdv on
+    frozen skip rows so the selector-gated ALU identities hold without
+    executing the instruction (rv32_isa.execute is the live counterpart)."""
+    if op in ("add", "addi"):
+        return (a + arg2) & MASK32
+    if op == "sub":
+        return (a - b) & MASK32
+    if op in ("and", "andi"):
+        return a & arg2
+    if op in ("or", "ori"):
+        return a | arg2
+    if op in ("xor", "xori"):
+        return a ^ arg2
+    if op in ("sll", "slli"):
+        return (a << ((b if op == "sll" else ins.imm) & 31)) & MASK32
+    if op in ("srl", "srli"):
+        return a >> ((b if op == "srl" else ins.imm) & 31)
+    if op in ("sra", "srai"):
+        return (_s32i(a) >> ((b if op == "sra" else ins.imm) & 31)) & MASK32
+    if op in ("slt", "slti"):
+        return 1 if _s32i(a) < _s32i(arg2) else 0
+    if op in ("sltu", "sltiu"):
+        return 1 if a < arg2 else 0
+    if op == "mul":
+        return (a * b) & MASK32
+    if op == "mulhu":
+        return (a * b) >> 32
+    if op == "mulh":
+        return ((_s32i(a) * _s32i(b)) >> 32) & MASK32
+    if op == "mulhsu":
+        return ((_s32i(a) * b) >> 32) & MASK32
+    if op in ("divu", "remu"):
+        if b == 0:
+            return MASK32 if op == "divu" else a
+        return a // b if op == "divu" else a % b
+    if op in ("div", "rem"):
+        sa, sb = _s32i(a), _s32i(b)
+        if b == 0:
+            return MASK32 if op == "div" else a
+        if sa == -(1 << 31) and sb == -1:
+            return a if op == "div" else 0
+        q = abs(sa) // abs(sb)
+        if (sa < 0) != (sb < 0):
+            q = -q
+        return (q if op == "div" else sa - q * sb) & MASK32
+    if op == "lui":
+        return ins.imm & MASK32
+    if op == "auipc":
+        return (pc + ins.imm) & MASK32
+    return 0
+
+
 def _sgn_to_field(v: int) -> int:
     """Store a (possibly negative) pc-relative offset as a field element."""
     return v % P_INT
@@ -852,6 +911,15 @@ class Rv32Machine:
         rdv = 0
         if nxt is not None and ins.rd != 0 and op in WRITES_RD:
             rdv = nxt.regs[ins.rd]
+        elif nxt is None and op in WRITES_RD:
+            # frozen skip row at a chunk boundary: the instruction has NOT
+            # executed (identity 10 gates the register write by nskip, the
+            # memory argument is gated off), but the per-op ALU identities
+            # are selector-gated only — fill rdv with the value the op
+            # WOULD produce so they hold.  Loads see the synthetic old=0
+            # word, so their extracted value is 0.
+            rdv = 0 if op in MEM_OPS else _alu_result(op, ins, a, b,
+                                                      arg2, st.pc)
         if op in ("jal", "jalr"):
             # the link-value identity is unconditional even when rd = x0
             rdv = (st.pc + 4) & MASK32

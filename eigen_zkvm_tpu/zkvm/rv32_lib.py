@@ -30,10 +30,17 @@ def program_from_asm(src: str) -> dict[int, RvInstr]:
 
 def rv32_generate_chunks(program, entry: int = 0, n_bits: int = 12,
                          ram_words: int | None = None, image0=None,
-                         regs0=None, max_cycles: int = 1 << 22):
+                         regs0=None, max_cycles: int = 1 << 22,
+                         rows_budget: int | None = None):
     """Execute and split into row-budgeted chunks.  Returns
-    (chunks, final) where each chunk is (states, image_in)."""
-    N = 1 << n_bits
+    (chunks, final) where each chunk is (states, image_in).
+
+    `rows_budget` caps execution rows per chunk below the trace size
+    (chunks pad with skip rows), so a short-but-wide guest — e.g. the EVM
+    transition whose RAM image needs the full continuation coprocessor —
+    can still exercise multi-chunk chaining."""
+    N = rows_budget or (1 << n_bits)
+    assert N <= 1 << n_bits
     mem = None
     if ram_words is not None:
         image0 = np.zeros(ram_words, dtype=np.uint64) if image0 is None \
@@ -69,14 +76,15 @@ def rv32_generate_chunks(program, entry: int = 0, n_bits: int = 12,
 
 def rv32_execute_and_prove(program, entry: int = 0, n_bits: int = 12,
                            ram_words: int | None = None, image0=None,
-                           regs0=None, ss=None, n_queries: int = 2):
+                           regs0=None, ss=None, n_queries: int = 2,
+                           rows_budget: int | None = None):
     """Full pipeline for real RV32IM machine code.  Returns
     (proofs, publics_list, machine, setup, ss)."""
     if isinstance(program, str):
         program = program_from_asm(program)
     chunks, final = rv32_generate_chunks(program, entry, n_bits,
                                          ram_words=ram_words, image0=image0,
-                                         regs0=regs0)
+                                         regs0=regs0, rows_budget=rows_budget)
     machine = Rv32Machine(program, n_bits, ram_words=ram_words)
     ss = ss or default_struct(n_bits, n_queries)
     setup = StarkSetup(machine.const_pols, machine.pil, ss)
