@@ -295,6 +295,552 @@ cmp_ge:
 """
 
 
+# ---------------------------------------------------------------------------
+# EVM bytecode interpreter with TRUE 256-bit words (8 u32 limbs per stack
+# slot), the reference program/evm's interpreter role.  Image layout:
+#   word 0          n_code_bytes
+#   byte 4          status (1 = clean stop, 3 = bad jump target)
+#   bytes 32..63    result = final stack top (zero if stack empty)
+#   bytes 64..319   bytecode (1 byte per byte, implicit zero padding past
+#                   the end — EVM semantics for PUSH over the code end)
+#   bytes 448..479  256-bit MUL scratch accumulator
+#   bytes 512..1023 the EVM stack, 16 slots x 32 bytes, grows up
+# Opcodes: STOP ADD MUL SUB LT GT EQ ISZERO AND OR XOR NOT POP JUMP JUMPI
+# PC JUMPDEST PUSH1..PUSH32 DUP1..DUP16 SWAP1..SWAP16; unknown = STOP;
+# JUMP/JUMPI validate the target byte is a JUMPDEST (status 3 otherwise).
+EVM_CODE_B = 64
+EVM_SCRATCH_B = 448
+EVM_STACK_B = 512
+EVM_STACK_END = 1024
+EVM_RESULT_B = 32
+EVM_RAM_WORDS = 256
+EVM_MAX_CODE = EVM_SCRATCH_B - EVM_CODE_B
+
+EVM256_GUEST = f"""
+    lw   s2, 0(zero)           # n_code_bytes
+    li   s0, 0                 # evm pc
+    li   s1, {EVM_STACK_B}     # sp (next free slot, byte addr)
+run:
+    bgeu s0, s2, op_stop       # ran off the code end
+    addi t0, s0, {EVM_CODE_B}
+    lbu  t1, 0(t0)
+    addi s0, s0, 1
+    li   t2, 0x60
+    bltu t1, t2, low
+    li   t2, 0x80
+    bltu t1, t2, op_push
+    li   t2, 0x90
+    bltu t1, t2, op_dup
+    li   t2, 0xa0
+    bltu t1, t2, op_swap
+    j    op_stop
+low:
+    beq  t1, zero, op_stop
+    li   t2, 0x01
+    beq  t1, t2, op_add
+    li   t2, 0x02
+    beq  t1, t2, op_mul
+    li   t2, 0x03
+    beq  t1, t2, op_sub
+    li   t2, 0x10
+    beq  t1, t2, op_lt
+    li   t2, 0x11
+    beq  t1, t2, op_gt
+    li   t2, 0x14
+    beq  t1, t2, op_eq
+    li   t2, 0x15
+    beq  t1, t2, op_iszero
+    li   t2, 0x16
+    beq  t1, t2, op_and
+    li   t2, 0x17
+    beq  t1, t2, op_or
+    li   t2, 0x18
+    beq  t1, t2, op_xor
+    li   t2, 0x19
+    beq  t1, t2, op_not
+    li   t2, 0x50
+    beq  t1, t2, op_pop
+    li   t2, 0x56
+    beq  t1, t2, op_jump
+    li   t2, 0x57
+    beq  t1, t2, op_jumpi
+    li   t2, 0x58
+    beq  t1, t2, op_pcop
+    li   t2, 0x5b
+    beq  t1, t2, run           # JUMPDEST: no-op
+    j    op_stop
+
+op_push:                       # t1 = 0x60..0x7f -> n = t1 - 0x5f bytes
+    li   t5, {EVM_STACK_END}
+    bgeu s1, t5, op_stop       # stack overflow
+    addi t3, t1, -0x5f
+    mv   a0, s1
+    jal  ra, zero256
+    li   t4, 0                 # i
+pushl:
+    beq  t4, t3, pushd
+    add  t5, s0, t4
+    addi t5, t5, {EVM_CODE_B}
+    lbu  t6, 0(t5)             # big-endian source byte i
+    sub  t5, t3, t4
+    addi t5, t5, -1            # little-endian dest byte n-1-i
+    add  t5, t5, s1
+    sb   t6, 0(t5)
+    addi t4, t4, 1
+    j    pushl
+pushd:
+    add  s0, s0, t3
+    addi s1, s1, 32
+    j    run
+
+op_dup:                        # t1 = 0x80..0x8f -> k = t1 - 0x7f
+    li   t5, {EVM_STACK_END}
+    bgeu s1, t5, op_stop
+    addi t3, t1, -0x7f
+    slli t3, t3, 5
+    sub  a1, s1, t3
+    mv   a0, s1
+    jal  ra, copy256
+    addi s1, s1, 32
+    j    run
+
+op_swap:                       # t1 = 0x90..0x9f -> k = t1 - 0x8f
+    addi t3, t1, -0x8f
+    slli t3, t3, 5
+    addi a0, s1, -32
+    sub  a1, a0, t3
+    li   t4, 0
+swapl:
+    add  t5, a0, t4
+    lw   t6, 0(t5)
+    add  t2, a1, t4
+    lw   t1, 0(t2)
+    sw   t1, 0(t5)
+    sw   t6, 0(t2)
+    addi t4, t4, 4
+    li   t5, 32
+    bne  t4, t5, swapl
+    j    run
+
+op_add:                        # [sp-64] = a + b (a = top)
+    addi a0, s1, -64
+    addi a1, s1, -32
+    jal  ra, add256
+    addi s1, s1, -32
+    j    run
+op_sub:                        # result = top - second
+    addi a0, s1, -64
+    addi a1, s1, -32
+    jal  ra, rsub256
+    addi s1, s1, -32
+    j    run
+op_mul:
+    li   a0, {EVM_SCRATCH_B}
+    jal  ra, zero256
+    li   t0, 0                 # i (byte offset into A = top)
+mull_i:
+    li   t1, 32
+    beq  t0, t1, mul_done
+    addi t2, s1, -32
+    add  t2, t2, t0
+    lw   a0, 0(t2)             # A[i]
+    beq  a0, zero, mul_next
+    li   t1, 0                 # j
+    li   t3, 0                 # carry
+mull_j:
+    add  t4, t0, t1
+    li   t5, 32
+    bgeu t4, t5, mul_next      # past limb 7: product/carry discarded mod 2^256
+    addi t2, s1, -64
+    add  t2, t2, t1
+    lw   a1, 0(t2)             # B[j]
+    mul  t5, a0, a1
+    mulhu t6, a0, a1
+    li   t2, {EVM_SCRATCH_B}
+    add  t2, t2, t4
+    lw   a2, 0(t2)
+    add  a2, a2, t5
+    sltu t5, a2, t5
+    add  a2, a2, t3
+    sltu t3, a2, t3
+    add  t3, t3, t5
+    add  t3, t3, t6            # carry' = hi + c1 + c2 (provably < 2^32)
+    sw   a2, 0(t2)
+    addi t1, t1, 4
+    j    mull_j
+mul_next:
+    addi t0, t0, 4
+    j    mull_i
+mul_done:
+    addi a0, s1, -64
+    li   a1, {EVM_SCRATCH_B}
+    jal  ra, copy256
+    addi s1, s1, -32
+    j    run
+
+op_lt:                         # 1 if top < second
+    addi a0, s1, -32
+    addi a1, s1, -64
+    jal  ra, cmp256
+    j    cmp_fin
+op_gt:
+    addi a0, s1, -64
+    addi a1, s1, -32
+    jal  ra, cmp256
+    j    cmp_fin
+op_eq:
+    addi a0, s1, -32
+    addi a1, s1, -64
+    jal  ra, eq256
+cmp_fin:
+    addi a0, s1, -64
+    mv   s3, a2
+    jal  ra, zero256
+    sw   s3, -64(s1)
+    addi s1, s1, -32
+    j    run
+op_iszero:
+    addi a0, s1, -32
+    jal  ra, isz256
+    addi a0, s1, -32
+    mv   s3, a2
+    jal  ra, zero256
+    sw   s3, -32(s1)
+    j    run
+
+op_and:
+    li   t6, 0                 # 0 = and
+    j    logic
+op_or:
+    li   t6, 1
+    j    logic
+op_xor:
+    li   t6, 2
+logic:
+    li   t4, 0
+logicl:
+    addi t2, s1, -32
+    add  t2, t2, t4
+    lw   t3, 0(t2)             # a limb
+    addi t2, s1, -64
+    add  t2, t2, t4
+    lw   t5, 0(t2)             # b limb
+    beq  t6, zero, do_and
+    li   t0, 1
+    beq  t6, t0, do_or
+    xor  t3, t3, t5
+    j    logic_w
+do_and:
+    and  t3, t3, t5
+    j    logic_w
+do_or:
+    or   t3, t3, t5
+logic_w:
+    sw   t3, 0(t2)
+    addi t4, t4, 4
+    li   t0, 32
+    bne  t4, t0, logicl
+    addi s1, s1, -32
+    j    run
+op_not:
+    li   t4, 0
+    addi t6, zero, -1
+notl:
+    addi t2, s1, -32
+    add  t2, t2, t4
+    lw   t3, 0(t2)
+    xor  t3, t3, t6
+    sw   t3, 0(t2)
+    addi t4, t4, 4
+    li   t0, 32
+    bne  t4, t0, notl
+    j    run
+
+op_pop:
+    addi s1, s1, -32
+    j    run
+op_jump:
+    addi s1, s1, -32
+    lw   t0, 0(s1)             # dest (low limb; high limbs out of range)
+    j    jump_to
+op_jumpi:
+    addi s1, s1, -32
+    lw   t0, 0(s1)             # dest
+    addi s1, s1, -32
+    mv   a0, s1
+    jal  ra, isz256            # cond == 0 ?
+    bne  a2, zero, run
+jump_to:
+    bgeu t0, s2, bad_jump
+    addi t1, t0, {EVM_CODE_B}
+    lbu  t2, 0(t1)
+    li   t3, 0x5b
+    bne  t2, t3, bad_jump
+    mv   s0, t0
+    j    run
+bad_jump:
+    li   t0, 3
+    sw   t0, 4(zero)
+    ecall
+op_pcop:
+    li   t5, {EVM_STACK_END}
+    bgeu s1, t5, op_stop
+    mv   a0, s1
+    jal  ra, zero256
+    addi t0, s0, -1            # PC pushes its own address
+    sw   t0, 0(s1)
+    addi s1, s1, 32
+    j    run
+
+op_stop:
+    li   t0, {EVM_STACK_B}
+    bgeu t0, s1, no_result
+    addi a1, s1, -32
+    li   a0, {EVM_RESULT_B}
+    jal  ra, copy256
+no_result:
+    li   t0, 1
+    sw   t0, 4(zero)
+    ecall
+
+    # ---- 256-bit subroutines (leaf; t-regs scratch, a2 result) ----
+zero256:                       # [a0] = 0
+    li   t5, 0
+zl:
+    add  t6, a0, t5
+    sw   zero, 0(t6)
+    addi t5, t5, 4
+    li   t6, 32
+    bne  t5, t6, zl
+    ret
+copy256:                       # [a0] = [a1]
+    li   t4, 0
+cl:
+    add  t5, a1, t4
+    lw   t6, 0(t5)
+    add  t5, a0, t4
+    sw   t6, 0(t5)
+    addi t4, t4, 4
+    li   t5, 32
+    bne  t4, t5, cl
+    ret
+eq256:                         # a2 = ([a0] == [a1])
+    li   t4, 0
+eql:
+    add  t5, a0, t4
+    lw   t6, 0(t5)
+    add  t5, a1, t4
+    lw   t3, 0(t5)
+    bne  t6, t3, eq_no
+    addi t4, t4, 4
+    li   t5, 32
+    bne  t4, t5, eql
+    li   a2, 1
+    ret
+eq_no:
+    li   a2, 0
+    ret
+isz256:                        # a2 = ([a0] == 0); preserves t0
+    li   t4, 0
+il:
+    add  t5, a0, t4
+    lw   t6, 0(t5)
+    bne  t6, zero, isz_no
+    addi t4, t4, 4
+    li   t5, 32
+    bne  t4, t5, il
+    li   a2, 1
+    ret
+isz_no:
+    li   a2, 0
+    ret
+rsub256:                       # [a0] = [a1] - [a0]  (borrow discarded mod 2^256)
+    li   t0, 0
+    li   t1, 0
+rsl:
+    add  t2, a1, t0
+    lw   t3, 0(t2)             # minuend
+    add  t4, a0, t0
+    lw   t5, 0(t4)             # subtrahend
+    sltu t6, t3, t5
+    sub  t3, t3, t5
+    sltu t2, t3, t1
+    sub  t3, t3, t1
+    or   t1, t6, t2
+    sw   t3, 0(t4)
+    addi t0, t0, 4
+    li   t2, 32
+    bne  t0, t2, rsl
+    ret
+add256:                        # [a0] += [a1]  (carry discarded mod 2^256)
+    li   t0, 0
+    li   t1, 0
+addl:
+    add  t2, a0, t0
+    lw   t3, 0(t2)
+    add  t4, a1, t0
+    lw   t5, 0(t4)
+    add  t6, t3, t5
+    sltu t5, t6, t5
+    add  t6, t6, t1
+    sltu t4, t6, t1
+    or   t1, t5, t4
+    sw   t6, 0(t2)
+    addi t0, t0, 4
+    li   t2, 32
+    bne  t0, t2, addl
+    ret
+cmp256:                        # a2 = ([a0] < [a1]), top limb down
+    li   t0, 28
+cmpl:
+    add  t2, a0, t0
+    lw   t3, 0(t2)
+    add  t4, a1, t0
+    lw   t5, 0(t4)
+    bltu t3, t5, cmp_lt
+    bltu t5, t3, cmp_ge
+    beq  t0, zero, cmp_ge
+    addi t0, t0, -4
+    j    cmpl
+cmp_lt:
+    li   a2, 1
+    ret
+cmp_ge:
+    li   a2, 0
+    ret
+"""
+
+
+U256 = (1 << 256) - 1
+
+
+def build_evm256_image(code: bytes):
+    """Pack EVM bytecode into the interpreter guest's RAM image."""
+    assert len(code) <= EVM_MAX_CODE, "bytecode exceeds the code area"
+    img = np.zeros(EVM_RAM_WORDS, dtype=np.uint64)
+    img[0] = len(code)
+    for i, b in enumerate(code):
+        w = (EVM_CODE_B // 4) + (i // 4)
+        img[w] = int(img[w]) | (b << (8 * (i % 4)))
+    return img
+
+
+def evm256_reference(code: bytes, max_steps: int = 100_000):
+    """Pure-python 256-bit EVM model of the guest's opcode subset
+    (differential oracle).  Returns (result_or_None, status)."""
+    stack: list[int] = []
+    pc = 0
+    for _ in range(max_steps):
+        if pc >= len(code):
+            break
+        op = code[pc]
+        pc += 1
+        if 0x60 <= op <= 0x7F:
+            n = op - 0x5F
+            v = int.from_bytes(code[pc : pc + n].ljust(n, b"\0"), "big")
+            stack.append(v)
+            pc += n
+        elif 0x80 <= op <= 0x8F:
+            stack.append(stack[-(op - 0x7F)])
+        elif 0x90 <= op <= 0x9F:
+            k = op - 0x8F
+            stack[-1], stack[-1 - k] = stack[-1 - k], stack[-1]
+        elif op == 0x01:
+            a, b = stack.pop(), stack.pop()
+            stack.append((a + b) & U256)
+        elif op == 0x02:
+            a, b = stack.pop(), stack.pop()
+            stack.append((a * b) & U256)
+        elif op == 0x03:
+            a, b = stack.pop(), stack.pop()
+            stack.append((a - b) & U256)
+        elif op == 0x10:
+            a, b = stack.pop(), stack.pop()
+            stack.append(1 if a < b else 0)
+        elif op == 0x11:
+            a, b = stack.pop(), stack.pop()
+            stack.append(1 if a > b else 0)
+        elif op == 0x14:
+            a, b = stack.pop(), stack.pop()
+            stack.append(1 if a == b else 0)
+        elif op == 0x15:
+            stack.append(1 if stack.pop() == 0 else 0)
+        elif op == 0x16:
+            a, b = stack.pop(), stack.pop()
+            stack.append(a & b)
+        elif op == 0x17:
+            a, b = stack.pop(), stack.pop()
+            stack.append(a | b)
+        elif op == 0x18:
+            a, b = stack.pop(), stack.pop()
+            stack.append(a ^ b)
+        elif op == 0x19:
+            stack.append(stack.pop() ^ U256)
+        elif op == 0x50:
+            stack.pop()
+        elif op in (0x56, 0x57):
+            dest = stack.pop()
+            cond = stack.pop() if op == 0x57 else 1
+            if cond:
+                if dest >= len(code) or code[dest] != 0x5B:
+                    return (stack[-1] if stack else None), 3
+                pc = dest
+        elif op == 0x58:
+            stack.append(pc - 1)
+        elif op == 0x5B:
+            pass
+        else:  # STOP / unimplemented
+            break
+    return (stack[-1] if stack else None), 1
+
+
+def run_evm256(code: bytes):
+    """Execute the interpreter guest on `code` (no proving).  Returns
+    (result_or_None, status, final_image, n_cycles)."""
+    from .rv32_isa import execute
+    from .rv32_lib import program_from_asm
+
+    img = build_evm256_image(code)
+    mem = {a: int(v) for a, v in enumerate(img) if v}
+    states, final = execute(program_from_asm(EVM256_GUEST), 0, mem=mem)
+    assert final.halted, "interpreter did not halt"
+    fi = np.zeros(EVM_RAM_WORDS, dtype=np.uint64)
+    for a, v in mem.items():
+        fi[a] = v
+    status = int(fi[1])
+    rbase = EVM_RESULT_B // 4
+    result = _unlimbs(fi[rbase : rbase + 8])
+    had_result = any(int(v) for v in fi[rbase : rbase + 8])
+    return (result if had_result else None), status, fi, len(states)
+
+
+def prove_evm256(code: bytes, n_bits: int = 12, n_queries: int = 2,
+                 rows_budget: int | None = None):
+    """Prove an EVM bytecode execution end to end: the interpreter guest
+    runs the code with 256-bit words, the run is proven across chunks
+    with chained RAM-image digests, and the result is differentially
+    checked against the python EVM model."""
+    from .machine import ram_digest
+    from .rv32_lib import rv32_execute_and_prove
+
+    image0 = build_evm256_image(code)
+    result, status, final_image, _ = run_evm256(code)
+    ref_result, ref_status = evm256_reference(code)
+    assert status == ref_status, "guest status disagrees with the EVM model"
+    if status == STATUS_OK and ref_result is not None:
+        assert result == ref_result, "guest result disagrees with the model"
+    proofs, publics_list, machine, setup, ss = rv32_execute_and_prove(
+        EVM256_GUEST, n_bits=n_bits, ram_words=EVM_RAM_WORDS, image0=image0,
+        n_queries=n_queries, rows_budget=rows_budget)
+    d_out = ram_digest(final_image)
+    for j in range(4):
+        assert publics_list[-1][f"mem_out{j}"] == d_out[j], \
+            "final image digest mismatch"
+    return {"proofs": proofs, "publics": publics_list, "result": result,
+            "status": status, "machine": machine, "setup": setup, "ss": ss,
+            "n_chunks": len(proofs)}
+
+
 def _limbs(v: int, n: int = 8) -> list[int]:
     assert v < 1 << (32 * n), "value exceeds 256 bits"
     return [(v >> (32 * i)) & 0xFFFFFFFF for i in range(n)]
