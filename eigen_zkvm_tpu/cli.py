@@ -307,6 +307,12 @@ def _cmd_compile(args):
         src_text = f.read()
     circuit = compile_circom(src_text, inputs,
                              search_paths=args.link or [], prime=prime)
+    if args.opt:
+        from .dsl.simplify import simplify
+        st = simplify(circuit, level=args.opt)
+        print(f"simplify O{args.opt}: {st['constraints_before']} -> "
+              f"{st['constraints_after']} constraints, "
+              f"{st['signals_before']} -> {st['signals_after']} signals")
     base = args.output or args.circuit.rsplit(".", 1)[0]
     save_r1cs(base + ".r1cs", circuit_to_r1cs(circuit))
     save_witness(base + ".wtns", circuit.w, circuit.P)
@@ -414,6 +420,9 @@ def main(argv=None):
     p.add_argument("--input", help="inputs json (for the witness)")
     p.add_argument("--link", "-l", action="append", help="include dirs")
     p.add_argument("--output", "-o", help="output basename")
+    p.add_argument("--opt", "-O", type=int, default=2, choices=[0, 1, 2],
+                   help="constraint simplification level (circom "
+                        "--O0/--O1/--O2; default O2, like circom)")
     p.set_defaults(func=_cmd_compile)
 
     args = ap.parse_args(argv)
