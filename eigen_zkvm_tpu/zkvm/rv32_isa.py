@@ -438,28 +438,11 @@ def execute(program: dict[int, RvInstr], pc0: int, regs0=None,
 
 def load_elf(path: str):
     """Load an RV32 ELF: returns (program dict pc->RvInstr, entry,
-    image dict word_addr->word)."""
-    from elftools.elf.elffile import ELFFile
+    image dict word_addr->word).  Thin compatibility shim over
+    zkvm/elf.py (the full loader, incl. the prove pipeline glue)."""
+    from .elf import load_elf as _load
 
-    program: dict[int, RvInstr] = {}
-    image: dict[int, int] = {}
-    with open(path, "rb") as f:
-        elf = ELFFile(f)
-        assert elf.header.e_machine == "EM_RISCV", "not a RISC-V ELF"
-        entry = elf.header.e_entry
-        for seg in elf.iter_segments():
-            if seg.header.p_type != "PT_LOAD":
-                continue
-            data = seg.data()
-            vaddr = seg.header.p_vaddr
-            x = bool(seg.header.p_flags & 1)
-            for i in range(0, len(data) - 3, 4):
-                word = int.from_bytes(data[i : i + 4], "little")
-                if x:
-                    try:
-                        program[vaddr + i] = decode(word, vaddr + i)
-                    except ValueError:
-                        pass  # literal pools / padding inside .text
-                if word:
-                    image[(vaddr + i) >> 2] = word
+    program, entry, image0, _ = _load(path)
+    image = {} if image0 is None else \
+        {i: int(w) for i, w in enumerate(image0) if w}
     return program, entry, image

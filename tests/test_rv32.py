@@ -213,22 +213,10 @@ done:
 
 def _write_minimal_elf(path, words, vaddr=0):
     """Emit a minimal valid ELF32 (RISC-V, one PT_LOAD RX segment)."""
-    import struct
+    from eigen_zkvm_tpu.zkvm.elf import make_elf
 
-    code = b"".join(w.to_bytes(4, "little") for w in words)
-    ehsize, phsize = 52, 32
-    off = ehsize + phsize
-    eh = struct.pack(
-        "<4sBBBBB7xHHIIIIIHHHHHH",
-        b"\x7fELF", 1, 1, 1, 0, 0,      # 32-bit LE, SysV
-        2, 243,                          # ET_EXEC, EM_RISCV
-        1, vaddr,                        # version, entry
-        ehsize, 0, 0,                    # phoff, shoff, flags
-        ehsize, phsize, 1, 0, 0, 0)      # sizes/counts
-    ph = struct.pack("<IIIIIIII", 1, off, vaddr, vaddr,
-                     len(code), len(code), 5, 4)  # PT_LOAD RX
     with open(path, "wb") as f:
-        f.write(eh + ph + code)
+        f.write(make_elf(words, entry=vaddr, text_vaddr=vaddr))
 
 
 @pytest.mark.slow
@@ -277,3 +265,44 @@ done:
     forged["mem_in1"] ^= 1
     assert not check_chain_publics([pubs[0], forged]) or \
         pubs[0]["mem_out1"] != forged["mem_in1"]
+
+
+def test_elf_data_segment_end_to_end_prove():
+    """A linked binary with a read-only data segment (array of words at a
+    nonzero vaddr) loads through the dependency-free ELF parser and proves
+    with RAM-image continuations (zkvm/src/lib.rs:168 compile_rust ->
+    prove analog for a compiled artifact)."""
+    from eigen_zkvm_tpu.zkvm.elf import (ElfError, elf_execute_and_prove,
+                                         load_elf, make_elf)
+
+    SUMDATA = """
+    li t0, 0x40       # &data[0]
+    li t1, 8          # len
+    li a0, 0
+loop:
+    beq t1, zero, done
+    lw t2, 0(t0)
+    add a0, a0, t2
+    addi t0, t0, 4
+    addi t1, t1, -1
+    j loop
+done:
+    sw a0, 0(t0)      # result word right after the array
+    ecall
+"""
+    data = b"".join(int(7 * i + 3).to_bytes(4, "little") for i in range(8))
+    elf = make_elf(assemble(SUMDATA), entry=0, data_bytes=data,
+                   data_vaddr=0x40)
+    program, entry, image0, ram_words = load_elf(elf)
+    assert entry == 0 and ram_words == 32
+    assert int(image0[0x40 >> 2]) == 3  # data visible at its vaddr
+    proofs, pubs, machine, setup, ss = elf_execute_and_prove(
+        elf, n_bits=10, n_queries=2)
+    assert pubs[-1]["x10_out"] == sum(7 * i + 3 for i in range(8))
+    # malformed containers are rejected
+    with pytest.raises(ElfError):
+        load_elf(b"\x7fELFjunk" + bytes(60))
+    bad = bytearray(elf)
+    bad[18] = 62  # e_machine = EM_X86_64
+    with pytest.raises(ElfError):
+        load_elf(bytes(bad))
