@@ -316,7 +316,9 @@ def _cmd_compile(args):
     base = args.output or args.circuit.rsplit(".", 1)[0]
     save_r1cs(base + ".r1cs", circuit_to_r1cs(circuit))
     save_witness(base + ".wtns", circuit.w, circuit.P)
-    print(f"compile -> {base}.r1cs / {base}.wtns "
+    from .dsl.elaborate import write_sym
+    write_sym(circuit, base + ".sym")
+    print(f"compile -> {base}.r1cs / {base}.wtns / {base}.sym "
           f"({len(circuit.constraints)} constraints, {circuit.n_vars} wires)")
 
 

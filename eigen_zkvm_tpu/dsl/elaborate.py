@@ -32,10 +32,12 @@ class Quad:
 
 
 class Component:
-    def __init__(self, elab, tname, args):
+    def __init__(self, elab, tname, args, path="main"):
         self.elab = elab
         self.tname = tname
         self.args = args
+        self.path = path
+        elab.components.append(self)
         self.signals = {}       # name -> Sig or nested lists
         self.inputs = []        # flat list of (container, key) slots pending
         self.n_unset = 0
@@ -90,6 +92,7 @@ class Component:
         env = dict(self.env)
         env["$signals"] = self.signals
         env["$component"] = self
+        env["$prefix"] = self.path
         if self.tname in self.elab.custom:
             self._execute_custom(env, body)
             return
@@ -134,6 +137,7 @@ class Component:
 
 class Elaborator:
     def __init__(self, source: str, search_paths=(), prime: int | None = None):
+        self.components: list = []  # every instantiated Component, main first
         from ..recursion.circuit import P as GL_P
         self.prime = prime or GL_P
         self.b = CircuitBuilder(prime=self.prime)
@@ -181,6 +185,8 @@ class Elaborator:
         env = dict(zip(params, args))
         comp = Component.__new__(Component)
         comp.elab = self
+        comp.path = "main"
+        self.components.append(comp)
         comp.tname = tname
         comp.args = args
         comp.signals = {}
@@ -241,6 +247,7 @@ class Elaborator:
 
         env["$signals"] = comp.signals
         env["$component"] = comp
+        env["$prefix"] = "main"
         env["$main_outputs"] = out_placeholders
         self._exec_block(env, body, skip_input_decl=True, is_main=True)
 
@@ -256,6 +263,9 @@ class Elaborator:
                 self.b.w[sid] = self.b.val(real.w)
                 self.b.assert_eq(ph.w, real.w)
             bind(ph, comp.signals[name])
+            # the public placeholder IS the output's witness entry
+            comp.signals[name] = ph
+        self.b.sym = sym_table(self)
         return self.b
 
     # ---- execution ----
@@ -316,7 +326,7 @@ class Elaborator:
                 env["$signals"].setdefault("$comp_" + name, None)
                 env[name] = mkc(shape)
             elif init is not None:
-                env[name] = self._instantiate(env, init)
+                env[name] = self._instantiate(env, init, varname=name)
             else:
                 env[name] = None
         elif kind == "for":
@@ -350,10 +360,11 @@ class Elaborator:
         else:
             raise ValueError(kind)
 
-    def _instantiate(self, env, init):
+    def _instantiate(self, env, init, varname=None):
         assert init[0] == "call"
         args = [self._int(env, a) for a in init[2]]
-        return Component(self, init[1], args)
+        path = env.get("$prefix", "main") + "." + (varname or init[1])
+        return Component(self, init[1], args, path=path)
 
     # ---- assignment helpers ----
     def _assign_signal(self, env, op, rhs):
@@ -663,6 +674,47 @@ class _Return(Exception):
 
 
 import os  # noqa: E402  (used by _load)
+
+
+def sym_table(elab: "Elaborator"):
+    """Flatten every component's declared signals into .sym entries:
+    (fqname, witness_sid_or_-1, component_idx).  A signal whose wire is a
+    linear combination (an alias the builder never materialized) gets
+    witness -1 — the same convention circom uses for signals its O2
+    simplification substituted away."""
+    entries = []
+    for ci, comp in enumerate(elab.components):
+        for name, val in sorted(comp.signals.items()):
+            if name.startswith("$"):
+                continue
+
+            def rec(v, suffix):
+                if isinstance(v, list):
+                    for i, x in enumerate(v):
+                        rec(x, f"{suffix}[{i}]")
+                    return
+                fq = f"{comp.path}.{name}{suffix}"
+                if v is None:
+                    entries.append((fq, -1, ci))
+                    return
+                w = v.w
+                if not w.is_const and w.k == 0 and len(w.lc) == 1 \
+                        and next(iter(w.lc.values())) == 1:
+                    entries.append((fq, next(iter(w.lc)), ci))
+                else:
+                    entries.append((fq, -1, ci))
+
+            rec(val, "")
+    return entries
+
+
+def write_sym(builder, path: str):
+    """Write a circom-compatible .sym file (#label,#witness,#component,name)
+    from a compile_circom-produced builder (after any simplification —
+    eliminated signals carry witness -1, like circom's own output)."""
+    with open(path, "w") as f:
+        for i, (fq, sid, ci) in enumerate(getattr(builder, "sym", []), 1):
+            f.write(f"{i},{sid},{ci},{fq}\n")
 
 
 def compile_circom(source: str, inputs: dict, search_paths=(),

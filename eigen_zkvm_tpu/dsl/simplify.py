@@ -155,6 +155,9 @@ def simplify(builder, level: int = 2) -> dict:
                             for n, sigs in builder.custom_gates]
     builder.w = neww
     builder._mat_cache = {}
+    if hasattr(builder, "sym"):  # keep .sym witness indices honest
+        builder.sym = [(fq, remap.get(sid, -1), ci)
+                       for fq, sid, ci in builder.sym]
     stats["constraints_after"] = len(builder.constraints)
     stats["signals_after"] = len(builder.w)
     stats["eliminated"] = len(subs)

@@ -93,3 +93,27 @@ def test_custom_gate_signals_protected():
     g2 = b.custom_gates[0][1][0]
     assert b.w[g2] == val                # survived, value intact
     assert _satisfied(b)
+
+
+def test_sym_table_names_and_simplify_remap(tmp_path):
+    """.sym emission (dsl_compile compilation_user.rs sym output role):
+    hierarchical names, witness ids, -1 for aliased/eliminated signals."""
+    from eigen_zkvm_tpu.dsl.elaborate import write_sym
+
+    b = compile_circom(NUM2BITS, {"x": 0b1010}, prime=bn254.R)
+    names = {fq: sid for fq, sid, _ in b.sym}
+    assert "main.x" in names and names["main.x"] >= 1
+    assert "main.bits[0]" in names
+    assert "main.n2b.out[7]" in names and "main.n2b.in" in names
+    # subcomponent input is an alias of main.x -> no own witness signal
+    assert names["main.n2b.in"] == -1 or \
+        names["main.n2b.in"] == names["main.x"]
+    simplify(b, level=2)
+    names2 = dict((fq, sid) for fq, sid, _ in b.sym)
+    # publics survive with the same positions; eliminated signals -> -1
+    assert names2["main.bits[3]"] == names["main.bits[3]"]
+    p = tmp_path / "c.sym"
+    write_sym(b, str(p))
+    lines = p.read_text().strip().splitlines()
+    assert len(lines) == len(b.sym)
+    assert lines[0].count(",") == 3
