@@ -306,3 +306,17 @@ done:
     bad[18] = 62  # e_machine = EM_X86_64
     with pytest.raises(ElfError):
         load_elf(bytes(bad))
+
+
+def test_lr_guest_fixed_point_fit():
+    """The reference's second guest family (zkvm/program/lr/src/lib.rs):
+    least-squares linear regression, here as Q16.16 RV32IM machine code
+    over an ELF .data dataset, proven with continuations."""
+    from eigen_zkvm_tpu.zkvm.guest_lr import lr_reference, prove_lr
+
+    pairs = [(1, 3), (2, 5), (3, 7), (4, 9), (5, 11)]  # y = 2x + 1
+    slope, intercept, proofs, pubs = prove_lr(pairs, n_bits=10)
+    want_s, want_i = lr_reference(pairs)
+    assert slope == want_s and intercept == want_i
+    assert slope == 2 << 16 and intercept == 1 << 16  # exact fit
+    assert len(proofs) >= 1
