@@ -48,8 +48,12 @@ def bench_fib():
     return elapsed
 
 
-def bench_tpu_prove(nbits: int = 20, width: int = 8, reps: int = 2):
-    """Device-resident large-N prove (best of `reps` warm runs)."""
+def bench_tpu_prove(nbits: int = 20, width: int = 8, reps: int = 2,
+                    deadline: float | None = None):
+    """Device-resident large-N prove (best of up to `reps` warm runs; the
+    first run warms cold compiles/tunnel transfers and extra reps are
+    skipped once `deadline` — an absolute time.monotonic() stamp — has
+    passed, so a slow tunnel degrades the sample count, not the bench)."""
     import sys
 
     sys.path.insert(0, ".")
@@ -71,11 +75,13 @@ def bench_tpu_prove(nbits: int = 20, width: int = 8, reps: int = 2):
                      verificationHashType="GL", steps=steps)
     setup = StarkSetup(const_pols, pil, ss)
     best = float("inf")
-    for _ in range(reps + 1):  # first run warms any cold compiles
+    for k in range(reps + 1):  # first run warms any cold compiles
         t0 = time.perf_counter()
         proof = stark_gen(cm, const_pols, setup.const_tree, setup.starkinfo,
                           setup.program, ss)
         best = min(best, time.perf_counter() - t0)
+        if k >= 1 and deadline is not None and time.monotonic() > deadline:
+            break
     assert stark_verify(proof, setup.const_root, setup.starkinfo, ss,
                         setup.program), "TPU proof failed verification"
     return best
@@ -136,9 +142,10 @@ def bench_unit_rates():
     return out
 
 
-def bench_scaling():
-    """SPMD scaling measurement on the 8-virtual-device CPU mesh, run in a
-    subprocess (the parent may hold the single real TPU chip)."""
+def start_scaling():
+    """SPMD scaling measurement on the 8-virtual-device CPU mesh, launched
+    as a CONCURRENT subprocess: it burns CPU while the parent's TPU phases
+    mostly wait on the device/tunnel, so the two overlap almost freely."""
     import os
     import subprocess
     import sys
@@ -146,31 +153,45 @@ def bench_scaling():
     here = os.path.dirname(os.path.abspath(__file__))
     env = dict(os.environ, PYTHONPATH="", JAX_PLATFORMS="cpu",
                PALLAS_AXON_REMOTE_COMPILE="0")
-    r = subprocess.run([sys.executable, "scripts/bench_scaling.py"],
-                       capture_output=True, text=True, timeout=900,
-                       env=env, cwd=here)
-    return json.loads(r.stdout.strip().splitlines()[-1])
+    return subprocess.Popen([sys.executable, "scripts/bench_scaling.py"],
+                            stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                            text=True, env=env, cwd=here)
 
 
 def main():
+    import os
+
+    t_start = time.monotonic()
+    budget = float(os.environ.get("EIGEN_BENCH_BUDGET_S", "2400"))
+    deadline = t_start + budget
+    try:
+        scaling_proc = start_scaling()
+    except Exception:
+        scaling_proc = None
     fib = bench_fib()
     extra = {}
-    try:
-        extra["multichip_scaling"] = bench_scaling()
-    except Exception as e:
-        extra["scaling_error"] = f"{type(e).__name__}: {e}"
     try:
         from eigen_zkvm_tpu.stark.engine import _device_present
 
         if _device_present():
             from eigen_zkvm_tpu.stark.engine import Engine
 
-            t = bench_tpu_prove()
+            t = bench_tpu_prove(deadline=deadline)
             extra["chain_gl_2e20x8_tpu_prove_s"] = round(t, 2)
             extra["tpu_engine"] = repr(Engine(21))
-            extra.update(bench_unit_rates())
+            if time.monotonic() < deadline:
+                extra.update(bench_unit_rates())
     except Exception as e:  # record, never break the primary metric
         extra["tpu_error"] = f"{type(e).__name__}: {e}"
+    if scaling_proc is not None:
+        try:
+            left = max(60.0, deadline - time.monotonic())
+            out, _err = scaling_proc.communicate(timeout=left)
+            extra["multichip_scaling"] = json.loads(
+                out.strip().splitlines()[-1])
+        except Exception as e:
+            scaling_proc.kill()
+            extra["scaling_error"] = f"{type(e).__name__}: {e}"
 
     print(json.dumps({
         "metric": "fib_gl_2e10_estark_prove",
