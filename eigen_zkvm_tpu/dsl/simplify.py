@@ -82,8 +82,10 @@ def simplify(builder, level: int = 2) -> dict:
 
     protected = set([0])
     protected.update(range(1, builder.n_publics + 1))
-    for _name, sigs in builder.custom_gates:
-        protected.update(sigs)
+    # custom-gate entries are (name, sigs) or (name, sigs, args/consts) —
+    # parameterized `template custom` and FFT4 carry a third element
+    for entry in builder.custom_gates:
+        protected.update(entry[1])
 
     constraints = [(dict(A), dict(B), dict(C))
                    for A, B, C in builder.constraints]
@@ -137,8 +139,8 @@ def simplify(builder, level: int = 2) -> dict:
         live.update(A)
         live.update(B)
         live.update(C)
-    for _name, sigs in builder.custom_gates:
-        live.update(sigs)
+    for entry in builder.custom_gates:
+        live.update(entry[1])
     live.discard(0)
     remap = {0: 0}
     neww = [builder.w[0]]
@@ -151,8 +153,9 @@ def simplify(builder, level: int = 2) -> dict:
         return {remap[s]: c % P for s, c in lc.items() if c % P}
 
     builder.constraints = [(rm(A), rm(B), rm(C)) for A, B, C in constraints]
-    builder.custom_gates = [(n, [remap[s] for s in sigs])
-                            for n, sigs in builder.custom_gates]
+    builder.custom_gates = [
+        (entry[0], [remap[s] for s in entry[1]], *entry[2:])
+        for entry in builder.custom_gates]
     builder.w = neww
     builder._mat_cache = {}
     if hasattr(builder, "sym"):  # keep .sym witness indices honest

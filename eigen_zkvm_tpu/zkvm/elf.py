@@ -30,14 +30,18 @@ class ElfError(ValueError):
 def load_elf(src):
     """Parse an ELF32 RISC-V executable (bytes, or a path).
 
-    Returns (program, entry, image0, ram_words):
+    Returns (program, entry, image0, ram_words, mem_base):
       program   — byte-pc -> RvInstr for every decodable word in PF_X
                   segments
       entry     — e_entry
       image0    — numpy uint64 word array covering ALL loaded segments
-                  (index = word address; .text words included so literal
-                  pools are loadable), or None with no data words
+                  (index = word address - mem_base; .text words included
+                  so literal pools are loadable), or None with no data
       ram_words — len(image0), a power of two (0 if image0 is None)
+      mem_base  — word-address origin of image0: real linkers place
+                  segments at conventional bases (0x10000 ld default,
+                  0x80000000 embedded), so the image covers min..max
+                  loaded word addresses, not 0..max
     """
     import numpy as np
 
@@ -88,15 +92,22 @@ def load_elf(src):
         raise ElfError("no executable PT_LOAD segment")
     image0 = None
     ram_words = 0
+    mem_base = 0
     if data_words:
-        top = max(data_words) + 1
+        mem_base = min(data_words) & ~7  # 8-word aligned image origin
+        top = max(data_words) + 1 - mem_base
         ram_words = 1
         while ram_words < top:
             ram_words <<= 1
+        if ram_words > (1 << 26):  # 256 MiB of u64 image — not a guest
+            raise ElfError(
+                f"loaded segments span {ram_words} words from base "
+                f"{mem_base:#x}; image too large for the continuation "
+                "coprocessor (sparse/huge layouts are not guest-shaped)")
         image0 = np.zeros(ram_words, dtype=np.uint64)
         for wa, w in data_words.items():
-            image0[wa] = w
-    return program, e_entry, image0, ram_words
+            image0[wa - mem_base] = w
+    return program, e_entry, image0, ram_words, mem_base
 
 
 def make_elf(text_words, entry: int = 0, text_vaddr: int = 0,
@@ -131,8 +142,8 @@ def elf_execute_and_prove(elf_data: bytes, n_bits: int = 12,
     result."""
     from .rv32_lib import rv32_execute_and_prove
 
-    program, entry, image0, ram_words = load_elf(elf_data)
+    program, entry, image0, ram_words, mem_base = load_elf(elf_data)
     return rv32_execute_and_prove(
         program, entry=entry, n_bits=n_bits, n_queries=n_queries,
         regs0=regs0, ram_words=ram_words or None, image0=image0,
-        rows_budget=rows_budget)
+        rows_budget=rows_budget, mem_base=mem_base)

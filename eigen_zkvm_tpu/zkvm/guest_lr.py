@@ -60,21 +60,40 @@ fit:
 
 
 def lr_reference(pairs):
-    """Host-side Q16.16 fixed-point fit with the guest's exact rounding
-    (RISC-V div truncates toward zero)."""
-    n = len(pairs)
-    sx = sum(x for x, _ in pairs)
-    sy = sum(y for _, y in pairs)
-    sxy = sum(x * y for x, y in pairs)
-    sxx = sum(x * x for x, _ in pairs)
+    """Host-side mirror of the GUEST's arithmetic, bit for bit: every
+    mul/add wraps at 32 bits (`mul`/`add` keep the low word), `slli 16`
+    truncates, and `div` is the RISC-V signed divide — truncating toward
+    zero, -1 on divide-by-zero, dividend on -2^31 / -1 overflow."""
+    M32 = 0xFFFFFFFF
 
-    def tdiv(a, b):
-        q = abs(a) // abs(b)
-        return -q if (a < 0) != (b < 0) else q
+    def s32(v):
+        v &= M32
+        return v - (1 << 32) if v & 0x80000000 else v
 
-    slope = tdiv((n * sxy - sx * sy) << 16, n * sxx - sx * sx)
-    intercept = tdiv((sy << 16) - slope * sx, n)
-    return slope & 0xFFFFFFFF, intercept & 0xFFFFFFFF
+    def rv_div(a, b):  # signed 32-bit operands as u32, result u32
+        sa, sb = s32(a), s32(b)
+        if sb == 0:
+            return M32
+        if sa == -(1 << 31) and sb == -1:
+            return a & M32
+        q = abs(sa) // abs(sb)
+        if (sa < 0) != (sb < 0):
+            q = -q
+        return q & M32
+
+    n = len(pairs) & M32
+    sx = sy = sxy = sxx = 0
+    for x, y in pairs:
+        sx = (sx + x) & M32
+        sy = (sy + y) & M32
+        sxy = (sxy + x * y) & M32
+        sxx = (sxx + x * x) & M32
+    num = (n * sxy - sx * sy) & M32
+    den = (n * sxx - sx * sx) & M32
+    slope = rv_div((num << 16) & M32, den)
+    t3 = ((sy << 16) - slope * sx) & M32
+    intercept = rv_div(t3, n)
+    return slope, intercept
 
 
 def lr_elf(pairs) -> bytes:

@@ -120,13 +120,22 @@ class Rv32Machine:
     NS = "Rv32"
 
     def __init__(self, program: dict[int, RvInstr], n_bits: int = 12,
-                 ram_words: int | None = None):
+                 ram_words: int | None = None, mem_base: int = 0):
         self.program = dict(program)
         self.n_bits = n_bits
         assert n_bits <= 16, "step-difference range checks use 2 bytes"
         self.N = 1 << n_bits
         assert len(program) <= self.N
         self.ram_words = ram_words
+        # word-address origin of the RAM image: linker-chosen base vaddrs
+        # (0x10000 ld default, 0x80000000 embedded) map to image index 0,
+        # so the image covers min..max loaded addresses instead of 0..max
+        # (the in-circuit relation addrb = 4*(wa + mem_base) + off makes
+        # the shift sound — wa is the committed column, mem_base a machine
+        # constant baked into the constraint)
+        assert mem_base % 8 == 0, "mem_base must be 8-word aligned"
+        assert 0 <= mem_base < (1 << 30), "mem_base is a 32-bit word address"
+        self.mem_base = mem_base
         self.continuations = ram_words is not None
         if self.continuations:
             assert ram_words % 8 == 0
@@ -571,8 +580,9 @@ class Rv32Machine:
         o0, o1 = cm(self.m_o0), cm(self.m_o1)
         bool_col(o0)
         bool_col(o1)
-        p.identity(p.mul(is_mem, p.sub(addrb, p.lin(
-            [(4, wa), (1, o0), (2, o1)]))), "rv32.pil", 47)
+        p.identity(p.mul(is_mem, p.sub(addrb, p.add(p.lin(
+            [(4, wa), (1, o0), (2, o1)]),
+            p.num(4 * self.mem_base)))), "rv32.pil", 47)
         # alignment
         p.identity(p.mul(p.lin([(1, sel["lw"]), (1, sel["sw"]),
                                 (1, sel["lh"]), (1, sel["lhu"]),
@@ -1077,6 +1087,13 @@ class Rv32Machine:
                     new = (b & 0xFFFF) << (8 * off0)
                 else:
                     new = 0
+            # the committed column (and the memory/continuation argument)
+            # carries image-relative word addresses
+            wa -= self.mem_base
+            assert 0 <= wa < (self.ram_words or (1 << 30)), \
+                f"access at word {wa + self.mem_base:#x} outside the RAM " \
+                f"image [{self.mem_base:#x}, " \
+                f"{self.mem_base + (self.ram_words or 0):#x})"
             addrb = (a + (ins.imm & MASK32)) % W
             buf[r, self.m_ac] = (a + (ins.imm & MASK32)) // W
             buf[r, self.m_addrb] = addrb

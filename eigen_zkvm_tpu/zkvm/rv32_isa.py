@@ -442,7 +442,7 @@ def load_elf(path: str):
     zkvm/elf.py (the full loader, incl. the prove pipeline glue)."""
     from .elf import load_elf as _load
 
-    program, entry, image0, _ = _load(path)
+    program, entry, image0, _, mem_base = _load(path)
     image = {} if image0 is None else \
-        {i: int(w) for i, w in enumerate(image0) if w}
+        {mem_base + i: int(w) for i, w in enumerate(image0) if w}
     return program, entry, image

@@ -31,7 +31,8 @@ def program_from_asm(src: str) -> dict[int, RvInstr]:
 def rv32_generate_chunks(program, entry: int = 0, n_bits: int = 12,
                          ram_words: int | None = None, image0=None,
                          regs0=None, max_cycles: int = 1 << 22,
-                         rows_budget: int | None = None):
+                         rows_budget: int | None = None,
+                         mem_base: int = 0):
     """Execute and split into row-budgeted chunks.  Returns
     (chunks, final) where each chunk is (states, image_in).
 
@@ -45,7 +46,9 @@ def rv32_generate_chunks(program, entry: int = 0, n_bits: int = 12,
     if ram_words is not None:
         image0 = np.zeros(ram_words, dtype=np.uint64) if image0 is None \
             else np.asarray(image0, dtype=np.uint64)
-        mem = {a: int(v) for a, v in enumerate(image0) if v}
+        # executor memory is absolute word-addressed; the image index is
+        # relative to mem_base (the loaded segments' origin)
+        mem = {mem_base + a: int(v) for a, v in enumerate(image0) if v}
     states, final = execute(program, entry, regs0, mem=mem,
                             max_cycles=max_cycles)
     assert final.halted, "execution exceeded max_cycles"
@@ -67,7 +70,7 @@ def rv32_generate_chunks(program, entry: int = 0, n_bits: int = 12,
             for stx in chunk[1:]:
                 mo = stx.mem_op
                 if mo is not None and mo[3]:
-                    image[mo[0]] = mo[2]
+                    image[mo[0] - mem_base] = mo[2]
         if i >= len(states) - 1:
             break
         start = i  # boundary state shared with the next chunk
@@ -77,15 +80,18 @@ def rv32_generate_chunks(program, entry: int = 0, n_bits: int = 12,
 def rv32_execute_and_prove(program, entry: int = 0, n_bits: int = 12,
                            ram_words: int | None = None, image0=None,
                            regs0=None, ss=None, n_queries: int = 2,
-                           rows_budget: int | None = None):
+                           rows_budget: int | None = None,
+                           mem_base: int = 0):
     """Full pipeline for real RV32IM machine code.  Returns
     (proofs, publics_list, machine, setup, ss)."""
     if isinstance(program, str):
         program = program_from_asm(program)
     chunks, final = rv32_generate_chunks(program, entry, n_bits,
                                          ram_words=ram_words, image0=image0,
-                                         regs0=regs0, rows_budget=rows_budget)
-    machine = Rv32Machine(program, n_bits, ram_words=ram_words)
+                                         regs0=regs0, rows_budget=rows_budget,
+                                         mem_base=mem_base)
+    machine = Rv32Machine(program, n_bits, ram_words=ram_words,
+                          mem_base=mem_base)
     ss = ss or default_struct(n_bits, n_queries)
     setup = StarkSetup(machine.const_pols, machine.pil, ss)
     proofs, publics_list = [], []

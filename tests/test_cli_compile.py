@@ -65,3 +65,57 @@ def test_cli_compile_artifacts_and_opt(tmp_path):
     assert int(w[1]) == 25
     sym = (tmp_path / "out2.sym").read_text()
     assert "main.c2" in sym and "main.a2" in sym
+
+
+PARAM_CUSTOM = r"""
+pragma circom 2.0.6;
+pragma custom_templates;
+
+template custom Scale(k) {
+    signal input x;
+    signal output y;
+    y <-- k * x;
+}
+
+template Main() {
+    signal input a;
+    signal output out;
+    signal mid;
+    component g = Scale(5);
+    g.x <== a + 1;
+    mid <== g.y;
+    out <== mid + 2;
+}
+
+component main = Main();
+"""
+
+
+def test_cli_compile_o2_parameterized_custom_gate(tmp_path):
+    """-O2 over a parameterized `template custom` (3-tuple custom_gates
+    entry: name, sigs, args) must not crash and must keep the gate's
+    signals + args intact through witness compaction."""
+    circ = tmp_path / "pc.circom"
+    circ.write_text(PARAM_CUSTOM)
+    inp = tmp_path / "in.json"
+    inp.write_text(json.dumps({"a": 3}))
+    out = tmp_path / "outpc"
+    r = subprocess.run(
+        [sys.executable, "-m", "eigen_zkvm_tpu.cli", "compile",
+         "-i", str(circ), "--input", str(inp), "-o", str(out),
+         "-O", "2", "-p", "goldilocks"],
+        capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    # direct API check: args survive simplify, remapped signals are live
+    from eigen_zkvm_tpu.dsl.elaborate import compile_circom
+    from eigen_zkvm_tpu.dsl.simplify import simplify
+
+    b = compile_circom(PARAM_CUSTOM, {"a": 3})
+    simplify(b, level=2)
+    (name, sigs, args), = b.custom_gates
+    assert name == "Scale" and args == (5,)
+    for s in sigs:
+        assert 0 <= s < len(b.w)
+    # the gate's witness relation still holds after compaction: y = 5*x
+    x, y = (int(b.w[s]) for s in sigs)
+    assert y == (5 * x) % b.P

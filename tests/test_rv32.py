@@ -293,8 +293,8 @@ done:
     data = b"".join(int(7 * i + 3).to_bytes(4, "little") for i in range(8))
     elf = make_elf(assemble(SUMDATA), entry=0, data_bytes=data,
                    data_vaddr=0x40)
-    program, entry, image0, ram_words = load_elf(elf)
-    assert entry == 0 and ram_words == 32
+    program, entry, image0, ram_words, mem_base = load_elf(elf)
+    assert entry == 0 and ram_words == 32 and mem_base == 0
     assert int(image0[0x40 >> 2]) == 3  # data visible at its vaddr
     proofs, pubs, machine, setup, ss = elf_execute_and_prove(
         elf, n_bits=10, n_queries=2)
@@ -306,6 +306,43 @@ done:
     bad[18] = 62  # e_machine = EM_X86_64
     with pytest.raises(ElfError):
         load_elf(bytes(bad))
+
+
+def test_elf_conventional_base_vaddr_proves():
+    """Segments linked at 0x80000000 (the embedded/powdr convention) load
+    WITHOUT a 4 GB dense image: the image covers min..max loaded words,
+    mem_base shifts load/store addressing, and the guest proves with
+    continuation digests (ADVICE r2: elf.py base-offset support)."""
+    from eigen_zkvm_tpu.zkvm.elf import (ElfError, elf_execute_and_prove,
+                                         load_elf, make_elf)
+
+    BASE = 0x80000000
+    SRC = f"""
+    li t0, {BASE + 0x40}   # &data
+    lw t1, 0(t0)
+    lw t2, 4(t0)
+    add a0, t1, t2
+    sw a0, 8(t0)           # store into the image
+    lw a1, 8(t0)
+    ecall
+"""
+    data = (123).to_bytes(4, "little") + (456).to_bytes(4, "little")
+    elf = make_elf(assemble(SRC), entry=BASE, text_vaddr=BASE,
+                   data_bytes=data, data_vaddr=BASE + 0x40)
+    program, entry, image0, ram_words, mem_base = load_elf(elf)
+    assert entry == BASE and mem_base == BASE >> 2
+    assert ram_words <= 32  # min..max span, not 0..max
+    assert int(image0[0x40 >> 2]) == 123
+    proofs, pubs, machine, setup, ss = elf_execute_and_prove(
+        elf, n_bits=10, n_queries=2)
+    assert pubs[-1]["x10_out"] == 579 and pubs[-1]["x11_out"] == 579
+
+    # a sparse layout spanning the whole address space is rejected, not
+    # dense-allocated
+    big = make_elf(assemble("ecall"), entry=0, text_vaddr=0,
+                   data_bytes=b"\x01\x00\x00\x00", data_vaddr=0xFFFF0000)
+    with pytest.raises(ElfError):
+        load_elf(big)
 
 
 def test_lr_guest_fixed_point_fit():
