@@ -81,14 +81,14 @@ def _lde_and_levels(lo, hi, nbits: int, nbits_ext: int, n_pols: int,
     # analog) — XLA inserts the collective at the constraint switch
     pair = meshctx.cols((lo, hi), ma)
     lde = meshctx.rows(ntt_jax.interpolate(pair, nbits, nbits_ext), ma)
-    levels, stack = pj.merkle_levels(lde, n_pols, 1 << nbits_ext)
+    levels, stack = pj.merkle_levels(lde, n_pols, 1 << nbits_ext, ma=ma)
     return lde, _flatten_levels(levels, stack)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "ma"))
 def _levels_only(lo, hi, width: int, height: int, ma=None):
     levels, stack = pj.merkle_levels(meshctx.rows((lo, hi), ma),
-                                     width, height)
+                                     width, height, ma=ma)
     return _flatten_levels(levels, stack)
 
 

@@ -82,7 +82,7 @@ def _leaves_and_levels(lo, hi, step_nbits: int, next_nbits: int, ma=None):
            .reshape(n_groups, group_size * 3),
          hi.reshape(group_size, n_groups, 3).transpose(1, 0, 2)
            .reshape(n_groups, group_size * 3)), ma)
-    levels, stack = pj.merkle_levels(etb, group_size * 3, n_groups)
+    levels, stack = pj.merkle_levels(etb, group_size * 3, n_groups, ma=ma)
     return etb, _flatten_levels(levels, stack)
 
 

@@ -52,11 +52,31 @@ def _geo_device(base: int, nbits: int) -> g.GL:
     return lo, hi
 
 
+_PALLAS_MIN_NBITS = 10
+
+
+def _use_pallas(nbits: int) -> bool:
+    """Route big transforms through the fused Pallas kernel on TPU.
+    EIGEN_ZKVM_NTT=ladder forces the XLA stage ladder (A/B debugging)."""
+    import os
+
+    mode = os.environ.get("EIGEN_ZKVM_NTT", "auto")
+    if mode == "ladder":
+        return False
+    if mode == "pallas":
+        return True
+    return nbits >= _PALLAS_MIN_NBITS and jax.default_backend() == "tpu"
+
+
 def ntt(values: g.GL, nbits: int) -> g.GL:
     """Forward NTT along axis 0 of [N, ...] u32-pair arrays."""
     n = 1 << nbits
     if n == 1:
         return values
+    if _use_pallas(nbits):
+        from . import ntt_pallas
+
+        return ntt_pallas.ntt(values, nbits)
     rev = _bitrev_idx(nbits)
     lo = values[0][rev]
     hi = values[1][rev]
@@ -89,6 +109,10 @@ def _rev_order_idx(n: int):
 
 def intt(values: g.GL, nbits: int) -> g.GL:
     n = 1 << nbits
+    if _use_pallas(nbits):
+        from . import ntt_pallas
+
+        return ntt_pallas.intt(values, nbits)
     qlo, qhi = ntt(values, nbits)
     n_inv = g.from_u64(np.uint64(gl.inv(np.uint64(n))))
     idx = _rev_order_idx(n)
@@ -99,6 +123,10 @@ def interpolate(values: g.GL, nbits: int, nbits_ext: int) -> g.GL:
     """Coset LDE [N, P] -> [N_ext, P]: NTT_ext(zero-pad(n_inv*SHIFT^j * iNTT))."""
     n = 1 << nbits
     n_ext = 1 << nbits_ext
+    if _use_pallas(nbits):
+        from . import ntt_pallas
+
+        return ntt_pallas.interpolate(values, nbits, nbits_ext)
     qlo, qhi = ntt(values, nbits)
     idx = _rev_order_idx(n)
     coeffs = (qlo[idx], qhi[idx])

@@ -191,7 +191,7 @@ def hash_leaves(rows, w: int):
 MERKLE_TAIL = 2048  # power of two; levels at or below this size fold in a scan
 
 
-def merkle_levels(elements, width: int, height: int):
+def merkle_levels(elements, width: int, height: int, ma=None):
     """Full tree on device: elements [height, width] pair ->
     (levels, tail_stack) where `levels` is a list of [n,4] pair levels
     for sizes > MERKLE_TAIL (level 0 = leaf digests) and `tail_stack` is a
@@ -203,7 +203,17 @@ def merkle_levels(elements, width: int, height: int):
     trick as fold_root_pow2 — so the whole tree costs ~log2(height/TAIL)+1
     traced permutations instead of log2(height): the XLA graph through a
     remote-TPU tunnel compiles in half the time, for T/2*log2(T) wasted
-    (tiny) hashes."""
+    (tiny) hashes.
+
+    Under a mesh (`ma`), the unrolled big levels stay ROW-sharded and the
+    tail is explicitly REPLICATED before the scan: without the reshard,
+    XLA's SPMD partitioner cannot keep a stable layout through the scan
+    body's pair-reshapes and falls back to "Involuntary full
+    rematerialization" selects — the scaling killer the round-2 dryrun
+    recorded.  The tail is <= 2*MERKLE_TAIL rows, so the one all-gather
+    is 64 KB/device."""
+    from ..parallel import meshctx
+
     lvl = hash_leaves(elements, width)
     levels = [lvl]
     n = height
@@ -215,11 +225,12 @@ def merkle_levels(elements, width: int, height: int):
                  jnp.concatenate([lvl[1][0::2], lvl[1][1::2]], axis=1))
         B = pairs[0].shape[0]
         st = (jnp.zeros((B, 4), jnp.uint32), jnp.zeros((B, 4), jnp.uint32))
-        lvl = hash_n(pairs, st)
+        lvl = meshctx.rows(hash_n(pairs, st), ma)
         levels.append(lvl)
         n = (n - 1) // 2 + 1
     if n == 1:
         return levels, None
+    lvl = meshctx.replicated(lvl, ma)
 
     T = n  # power of two by the loop condition
     t = T.bit_length() - 1
