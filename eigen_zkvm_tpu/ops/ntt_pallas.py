@@ -3,19 +3,21 @@
 The XLA ladder (ops/ntt_jax.py) materializes every radix-2 stage to HBM:
 2*log2(N) full passes over the data.  This kernel runs ALL stages of a
 length-2^a transform with the tile resident in VMEM — one HBM read and one
-write per tile — using the Stockham autosort formulation (natural order in
-AND out, no bit-reversal gather; reference hot loop: starky/src/fft_p.rs:
-242-355, the blocked butterflies + transpose rounds).
+write per tile (reference hot loop: starky/src/fft_p.rs:242-355).
 
-Large transforms use the classic four-step decomposition N = N1*N2:
+In-kernel structure: recursive four-step with N1 = 8, i.e. radix-8
+decimation.  At every level the array is viewed as [8, q, ...tail, LANES]
+and ALL data movement (Stockham stage interleaves, the [8, q] -> [q, 8]
+axis swap) happens on LEADING axes whose unit is a whole lane-row — the
+naive radix-2 formulation interleaves at sub-sublane granularity for its
+first three stages, which Mosaic lowers to shuffles ~30x slower than
+streaming.  The 8-point sub-NTT twiddles are compile-time scalars; the
+cross-level twiddle tables w^(k1*i2) ([8, q] per level) are built on
+device and passed as kernel inputs.
 
-    A[k1, i2]  = NTT_N1 over i1 of x[i1*N2 + i2]      (Pallas kernel)
-    B[k1, i2]  = A * w_N^(k1*i2)                      (XLA elementwise)
-    C          = B transposed to [i2, k1]             (XLA copy)
-    X[k1+N1*k2]= NTT_N2 over i2 of C                  (Pallas kernel)
-
-so a 2^24 LDE touches HBM ~6x instead of ~48x.  Sub-transforms longer
-than the VMEM budget recurse.  Everything is differential-tested
+Large transforms use the same four-step decomposition at the XLA level
+(sub-NTT kernel, twiddle multiply, transpose, sub-NTT kernel), so a 2^24
+LDE touches HBM ~6x instead of ~48x.  Everything is differential-tested
 bit-exact against poly/ntt.py (tests/test_ntt_pallas.py).
 """
 from __future__ import annotations
@@ -29,67 +31,127 @@ import numpy as np
 from ..fields import gl64 as gl
 from . import gl_jax as g
 
-# largest in-kernel transform.  VMEM would allow 2^12, but Mosaic compile
-# time is superlinear in the unrolled stage-ladder DEPTH — 9 stages keeps
-# the (persistent-cached, but first-time) kernel compile in tens of
-# seconds while the four-step recursion supplies arbitrary sizes
+# largest in-kernel transform: block [2^KMAX, LANES] u32-pairs (in + out +
+# per-level temporaries on the Mosaic scoped-vmem stack)
 KMAX = 9
 LANES = 128
 
 
-def _stage_twiddles(nbits: int, root: int):
-    """[t, n/2] u32-pair: row q holds w^((i >> q) << q) — the Stockham
-    stage-q twiddle for output slot i (w^(j*m) repeated m=2^q times).
-    Built on device from scalar seeds (nothing big crosses the link)."""
-    n = 1 << nbits
-    half = n // 2
-    # pows[i] = root^i, i < n/2, by log-depth doubling
-    lo = jnp.ones((1,), jnp.uint32)
-    hi = jnp.zeros((1,), jnp.uint32)
-    cur = int(root)
-    for _ in range(nbits - 1):
-        s = g.mul((lo, hi), (jnp.full((1,), cur & 0xFFFFFFFF, jnp.uint32),
-                             jnp.full((1,), cur >> 32, jnp.uint32)))
-        lo = jnp.concatenate([lo, s[0]])
-        hi = jnp.concatenate([hi, s[1]])
-        cur = int(gl.mul(np.uint64(cur), np.uint64(cur)))
-    idx = jax.lax.iota(jnp.int32, half)
-    rows_lo, rows_hi = [], []
-    for q in range(nbits):
-        sel = (idx >> q) << q
-        rows_lo.append(lo[sel])
-        rows_hi.append(hi[sel])
-    return jnp.stack(rows_lo), jnp.stack(rows_hi)
+def _c32(x: int):
+    return (np.uint32(x & 0xFFFFFFFF), np.uint32(x >> 32))
 
 
-def _kernel(tw_lo_ref, tw_hi_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref,
-            *, nbits: int):
+def _stockham_axis0(X, nbits: int, root: int):
+    """<= 8-point Stockham DIF over axis 0 (natural in/out).  Twiddles are
+    compile-time scalars; every slice/concat moves whole axis-0 blocks."""
     n = 1 << nbits
-    half = n // 2
-    T = lo_ref.shape[1]
-    X = (lo_ref[...], hi_ref[...])
-    l, m = half, 1
-    for q in range(nbits):
-        x0 = (X[0][:half], X[1][:half])
-        x1 = (X[0][half:], X[1][half:])
+    assert X[0].shape[0] == n
+    tail = X[0].shape[1:]
+    pows = [1] * max(n // 2, 1)
+    for i in range(1, n // 2):
+        pows[i] = int(gl.mul(np.uint64(pows[i - 1]), np.uint64(root)))
+    l, m = n // 2, 1
+    for _ in range(nbits):
+        x0 = (X[0][: n // 2], X[1][: n // 2])
+        x1 = (X[0][n // 2 :], X[1][n // 2 :])
         s = g.add(x0, x1)
-        tw = (tw_lo_ref[q].reshape(half, 1), tw_hi_ref[q].reshape(half, 1))
-        d = g.mul(g.sub(x0, x1), tw)
-        # autosort scatter: out[j*2m + k] = s, out[j*2m + m + k] = d
-        slo = s[0].reshape(l, 1, m, T)
-        shi = s[1].reshape(l, 1, m, T)
-        dlo = d[0].reshape(l, 1, m, T)
-        dhi = d[1].reshape(l, 1, m, T)
-        X = (jnp.concatenate([slo, dlo], axis=1).reshape(n, T),
-             jnp.concatenate([shi, dhi], axis=1).reshape(n, T))
+        d = g.sub(x0, x1)
+        # per-j scalar twiddle on the j-th m-block (j < l)
+        if l > 1:
+            dl, dh = [], []
+            for j in range(l):
+                blk = (d[0][j * m : (j + 1) * m], d[1][j * m : (j + 1) * m])
+                w = pows[j * m]
+                if w != 1:
+                    blk = g.mul(blk, _c32(w))
+                dl.append(blk[0])
+                dh.append(blk[1])
+            d = (jnp.concatenate(dl, axis=0), jnp.concatenate(dh, axis=0))
+        # interleave: out[j*2m + k] = s_jk, out[j*2m + m + k] = d_jk
+        slo = s[0].reshape((l, 1, m) + tail)
+        shi = s[1].reshape((l, 1, m) + tail)
+        dlo = d[0].reshape((l, 1, m) + tail)
+        dhi = d[1].reshape((l, 1, m) + tail)
+        X = (jnp.concatenate([slo, dlo], axis=1).reshape((n,) + tail),
+             jnp.concatenate([shi, dhi], axis=1).reshape((n,) + tail))
         l //= 2
         m *= 2
-    out_lo_ref[...] = X[0]
-    out_hi_ref[...] = X[1]
+    return X
 
 
-@partial(jax.jit, static_argnames=("nbits", "interpret"))
-def _ntt_axis0_call(lo, hi, tw_lo, tw_hi, nbits: int,
+def _rec_ntt(X, nbits: int, root: int, tables: list):
+    """Recursive in-VMEM four-step over axis 0 (N1 = 8 per level).
+    `tables` is a list of ([8, q] lo, hi) twiddle pairs, one per level,
+    consumed outer-to-inner."""
+    if nbits <= 3:
+        return _stockham_axis0(X, nbits, root)
+    n = 1 << nbits
+    q = n >> 3
+    tail = X[0].shape[1:]
+    X3 = (X[0].reshape((8, q) + tail), X[1].reshape((8, q) + tail))
+    root8 = int(gl.exp(np.uint64(root), q))        # order-8 root
+    A = _stockham_axis0(X3, 3, root8)
+    # tables arrive pre-shaped (8, q, 1, ..., 1) so the multiply is a pure
+    # broadcast — Mosaic cannot reshape trailing dims past the lane axis
+    B = g.mul(A, tables[0])
+    C = (jnp.moveaxis(B[0], 0, 1), jnp.moveaxis(B[1], 0, 1))  # [q, 8, ...]
+    root_q = int(gl.exp(np.uint64(root), 8))       # order-q root
+    D = _rec_ntt(C, nbits - 3, root_q, tables[1:])
+    return (D[0].reshape((n,) + tail), D[1].reshape((n,) + tail))
+
+
+def _level_shapes(nbits: int):
+    """Twiddle-table block shapes per radix-8 level: (8, q) plus one
+    trailing broadcast dim per enclosing level + one for the lane axis."""
+    shapes = []
+    nb, level = nbits, 0
+    while nb > 3:
+        shapes.append((8, 1 << (nb - 3)) + (1,) * (level + 1))
+        nb -= 3
+        level += 1
+    return shapes
+
+
+def _level_tables(nbits: int, root: int):
+    """Device-built [8, q] w^(k1*i2) twiddle pairs per level."""
+    out = []
+    nb, rt = nbits, int(root)
+    while nb > 3:
+        q = 1 << (nb - 3)
+        # geo ladder base^i2 then 8 rows by repeated mul
+        base = (jnp.ones((1,), jnp.uint32), jnp.zeros((1,), jnp.uint32))
+        lo, hi = base
+        cur = rt
+        for _ in range(nb - 3):
+            s = g.mul((lo, hi), (jnp.full((1,), cur & 0xFFFFFFFF, jnp.uint32),
+                                 jnp.full((1,), cur >> 32, jnp.uint32)))
+            lo = jnp.concatenate([lo, s[0]])
+            hi = jnp.concatenate([hi, s[1]])
+            cur = int(gl.mul(np.uint64(cur), np.uint64(cur)))
+        # rows: w^(k1*i2) = (w^i2)^k1, k1 < 8 — 3 squarings/muls of [q]
+        rows_lo, rows_hi = [jnp.ones((q,), jnp.uint32)], [jnp.zeros((q,), jnp.uint32)]
+        for k in range(1, 8):
+            r = g.mul((rows_lo[-1], rows_hi[-1]), (lo, hi))
+            rows_lo.append(r[0])
+            rows_hi.append(r[1])
+        out.append((jnp.stack(rows_lo), jnp.stack(rows_hi)))
+        rt = int(gl.exp(np.uint64(rt), 8))
+        nb -= 3
+    return out
+
+
+def _kernel(*refs, nbits: int, nlevels: int, root: int):
+    tables = [(refs[2 * i][...], refs[2 * i + 1][...])
+              for i in range(nlevels)]
+    lo_ref, hi_ref = refs[2 * nlevels], refs[2 * nlevels + 1]
+    out_lo, out_hi = refs[2 * nlevels + 2], refs[2 * nlevels + 3]
+    X = _rec_ntt((lo_ref[...], hi_ref[...]), nbits, root, tables)
+    out_lo[...] = X[0]
+    out_hi[...] = X[1]
+
+
+@partial(jax.jit, static_argnames=("nbits", "root", "interpret"))
+def _ntt_axis0_call(lo, hi, tables_flat, nbits: int, root: int,
                     interpret: bool = False):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
@@ -98,24 +160,24 @@ def _ntt_axis0_call(lo, hi, tw_lo, tw_hi, nbits: int,
     M = lo.shape[1]
     assert M % LANES == 0, (M, LANES)
     grid = (M // LANES,)
-    half = n // 2
-    tw_spec = pl.BlockSpec((nbits, half), lambda i: (0, 0),
-                           memory_space=pltpu.VMEM)
+    shapes = _level_shapes(nbits)
+    tw_specs = []
+    for shp in shapes:
+        spec = pl.BlockSpec(shp, (lambda rank: (lambda i: (0,) * rank))(
+            len(shp)), memory_space=pltpu.VMEM)
+        tw_specs += [spec, spec]
     spec = pl.BlockSpec((n, LANES), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((n, M), jnp.uint32)] * 2
-    # the unrolled stage ladder allocates per-stage temporaries on the
-    # Mosaic scoped-vmem stack; the default 16 MB limit trips at 2^10+,
-    # so raise it toward the physical VMEM (v5e: 128 MB)
-    params = pltpu.CompilerParams(
-        vmem_limit_bytes=100 * 1024 * 1024)
+    params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     return pl.pallas_call(
-        partial(_kernel, nbits=nbits), grid=grid,
-        in_specs=[tw_spec, tw_spec, spec, spec],
+        partial(_kernel, nbits=nbits, nlevels=len(shapes), root=root),
+        grid=grid,
+        in_specs=tw_specs + [spec, spec],
         out_specs=[spec, spec],
         out_shape=out_shape, interpret=interpret,
         compiler_params=params,
-    )(tw_lo, tw_hi, lo, hi)
+    )(*tables_flat, lo, hi)
 
 
 def ntt_axis0(pair, nbits: int, root: int | None = None,
@@ -133,8 +195,11 @@ def ntt_axis0(pair, nbits: int, root: int | None = None,
     if pad:
         lo = jnp.pad(lo, ((0, 0), (0, pad)))
         hi = jnp.pad(hi, ((0, 0), (0, pad)))
-    tw_lo, tw_hi = _stage_twiddles(nbits, root)
-    olo, ohi = _ntt_axis0_call(lo, hi, tw_lo, tw_hi, nbits,
+    tables_flat = []
+    for shp, (tl, th) in zip(_level_shapes(nbits),
+                             _level_tables(nbits, root)):
+        tables_flat += [tl.reshape(shp), th.reshape(shp)]
+    olo, ohi = _ntt_axis0_call(lo, hi, tuple(tables_flat), nbits, root,
                                interpret=interpret)
     if pad:
         olo, ohi = olo[:, :M], ohi[:, :M]
@@ -145,28 +210,9 @@ def _four_step_twiddle(nbits: int, a: int, root: int):
     """[N1, N2] u32-pair table w_N^(k1*i2), built on device in O(N) muls:
     with k1 = h*64 + l,  w^(k1*i2) = (w^(64*i2))^h * (w^(i2))^l — two
     [64, N2] geometric ladders and one broadcast product."""
-    n = 1 << nbits
     b = nbits - a
     N1, N2 = 1 << a, 1 << b
     w = int(root)
-
-    def geo_rows(base_pow):  # [rows, N2]: base^(r*i2) for r < rows
-        # row r+1 = row r * row 1; log-depth doubling over rows
-        i2 = _geo_cols(base_pow, b)  # [N2] = base^i2
-        rows = (i2[0][None, :], i2[1][None, :])
-        one = g.ones((1, N2))
-        rows = (jnp.concatenate([one[0], rows[0]]),
-                jnp.concatenate([one[1], rows[1]]))
-        while rows[0].shape[0] < 64:
-            k = rows[0].shape[0]
-            top = (rows[0][k - 1 : k], rows[1][k - 1 : k])
-            nxt = g.mul(rows, (jnp.broadcast_to(top[0], rows[0].shape),
-                               jnp.broadcast_to(top[1], rows[1].shape)))
-            nxt = g.mul(nxt, (i2[0][None, :], i2[1][None, :]))
-            # rows_{k..2k-1} = rows_j * rows_{k-1} * base^{i2}
-            rows = (jnp.concatenate([rows[0], nxt[0]]),
-                    jnp.concatenate([rows[1], nxt[1]]))
-        return rows
 
     def _geo_cols(base: int, bits: int):
         lo = jnp.ones((1,), jnp.uint32)
@@ -181,8 +227,23 @@ def _four_step_twiddle(nbits: int, a: int, root: int):
             cur = int(gl.mul(np.uint64(cur), np.uint64(cur)))
         return lo, hi
 
+    def geo_rows(base_pow):  # [64, N2]: base^(r*i2) for r < 64
+        i2 = _geo_cols(base_pow, b)  # [N2] = base^i2
+        one = g.ones((1, N2))
+        rows = (jnp.concatenate([one[0], i2[0][None, :]]),
+                jnp.concatenate([one[1], i2[1][None, :]]))
+        while rows[0].shape[0] < 64:
+            k = rows[0].shape[0]
+            top = (rows[0][k - 1 : k], rows[1][k - 1 : k])
+            nxt = g.mul(rows, (jnp.broadcast_to(top[0], rows[0].shape),
+                               jnp.broadcast_to(top[1], rows[1].shape)))
+            nxt = g.mul(nxt, (i2[0][None, :], i2[1][None, :]))
+            rows = (jnp.concatenate([rows[0], nxt[0]]),
+                    jnp.concatenate([rows[1], nxt[1]]))
+        return rows
+
     if N1 <= 64:
-        low = geo_rows(w)  # [64, N2] = w^(l*i2)
+        low = geo_rows(w)
         return (low[0][:N1], low[1][:N1])
     w64 = int(gl.exp(np.uint64(w), 64))
     low = geo_rows(w)        # [64, N2]  w^(l*i2)

@@ -27,8 +27,13 @@ class ElfError(ValueError):
     pass
 
 
-def load_elf(src):
+def load_elf(src, include_exec_in_image: bool = True):
     """Parse an ELF32 RISC-V executable (bytes, or a path).
+
+    `include_exec_in_image=False` keeps PF_X segment words out of the RAM
+    image (guests that never read .text — e.g. cc.py output, which loads
+    constants via lui/addi, not literal pools — get a much smaller
+    continuation-digest footprint).
 
     Returns (program, entry, image0, ram_words, mem_base):
       program   — byte-pc -> RvInstr for every decodable word in PF_X
@@ -85,6 +90,8 @@ def load_elf(src):
                     program[pc] = decode(w, pc)
                 except Exception:
                     pass  # literal pools / padding inside .text
+                if not include_exec_in_image:
+                    continue
             if w:
                 data_words[(p_vaddr >> 2) + j] = w
 
@@ -136,13 +143,15 @@ def make_elf(text_words, entry: int = 0, text_vaddr: int = 0,
 
 def elf_execute_and_prove(elf_data: bytes, n_bits: int = 12,
                           n_queries: int = 2, regs0=None,
-                          rows_budget: int | None = None):
+                          rows_budget: int | None = None,
+                          include_exec_in_image: bool = True):
     """Load an ELF and prove its execution (zkvm/src/lib.rs:231 prove
     analog for a compiled binary).  Returns the rv32_execute_and_prove
     result."""
     from .rv32_lib import rv32_execute_and_prove
 
-    program, entry, image0, ram_words, mem_base = load_elf(elf_data)
+    program, entry, image0, ram_words, mem_base = load_elf(
+        elf_data, include_exec_in_image=include_exec_in_image)
     return rv32_execute_and_prove(
         program, entry=entry, n_bits=n_bits, n_queries=n_queries,
         regs0=regs0, ram_words=ram_words or None, image0=image0,

@@ -183,32 +183,71 @@ def _enc_j(rd, imm):
             | (((imm >> 20) & 1) << 31))
 
 
+_BR_INVERT = {"beq": "bne", "bne": "beq", "blt": "bge", "bge": "blt",
+              "bltu": "bgeu", "bgeu": "bltu", "bgt": "ble", "ble": "bgt"}
+_BR_SET = set(_BR_INVERT)
+
+
 def assemble(src: str, base: int = 0) -> list[int]:
     """Assemble RV32IM source (labels, standard mnemonics, common pseudo
-    ops) into a list of 32-bit instruction words at byte address `base`."""
+    ops) into 32-bit instruction words at byte address `base`.  Branches
+    whose label target is outside the B-type ±4 KB range are RELAXED to
+    an inverted branch over a jal (compiler output — e.g. the unrolled
+    keccak round — routinely exceeds the short range)."""
     lines = []
     for raw in src.splitlines():
         line = raw.split("#")[0].strip()
         if line:
             lines.append(line)
-    labels: dict[str, int] = {}
-    parsed = []
-    pc = base
+    stmts = []           # (op, args)
+    label_defs = []      # (label, stmt index)
     for line in lines:
         while ":" in line:
             lbl, line = line.split(":", 1)
-            labels[lbl.strip()] = pc
+            label_defs.append((lbl.strip(), len(stmts)))
             line = line.strip()
         if not line:
             continue
         toks = line.replace(",", " ").replace("(", " ").replace(")", " ").split()
-        op = toks[0].lower()
-        n = 2 if op == "li" and _needs_two(toks) else 1
-        parsed.append((pc, op, toks[1:]))
-        pc += 4 * n
+        stmts.append((toks[0].lower(), toks[1:]))
 
+    # iterate sizing to a fixpoint (branch relaxation only grows)
+    sizes = [2 if op == "li" and _needs_two([op] + a) else 1
+             for op, a in stmts]
+    labels: dict[str, int] = {}
+    while True:
+        pcs, pc = [], base
+        for sz in sizes:
+            pcs.append(pc)
+            pc += 4 * sz
+        labels = {}
+        for lbl, idx in label_defs:
+            labels[lbl] = pcs[idx] if idx < len(pcs) else pc
+        changed = False
+        for i, (op, a) in enumerate(stmts):
+            if op in _BR_SET and sizes[i] == 1 and a[2] in labels:
+                off = labels[a[2]] - pcs[i]
+                if not -4096 <= off <= 4094:
+                    sizes[i] = 2
+                    changed = True
+        if not changed:
+            break
+
+    parsed = [(pcs[i], op, a, sizes[i]) for i, (op, a) in enumerate(stmts)]
     words: list[int] = []
-    for pc, op, a in parsed:
+    for pc, op, a, size in parsed:
+        if op in _BR_SET and size == 2:
+            # far branch: inverted short branch over an unconditional jal
+            inv = _BR_INVERT[op]
+            tgt = labels[a[0 + 2]] - (pc + 4)
+            if inv in BRANCHES.values():
+                f3 = next(k for k, v in BRANCHES.items() if v == inv)
+                words.append(_enc_b(f3, _r(a[0]), _r(a[1]), 8))
+            else:  # bgt/ble pseudo: swap operands
+                f3 = 0b100 if inv == "bgt" else 0b101
+                words.append(_enc_b(f3, _r(a[1]), _r(a[0]), 8))
+            words.append(_enc_j(0, tgt))
+            continue
         def imm(tok, rel=False):
             v = labels[tok] if tok in labels else int(tok, 0)
             return v - pc if rel and tok in labels else v

@@ -1,0 +1,133 @@
+"""C compiler -> RV32 guests: compiler-produced binaries (VERDICT r2 #4)
+and EVM bytecode execution with in-guest keccak256 (VERDICT r2 #5).
+
+The toolchain is eigen_zkvm_tpu/zkvm/cc.py (pycparser front-end, register
+promotion, branch relaxation, absolute-addressed globals); the reference
+counterpart is powdr compile_rust + the revm/keccak guest
+(zkvm/src/lib.rs:172, zkvm/program/evm/src/lib.rs)."""
+import numpy as np
+import pytest
+
+from eigen_zkvm_tpu.zkvm.cc import c_execute, c_to_elf, load_c_elf
+from eigen_zkvm_tpu.zkvm.guest_evm_c import build_guest_source, evm_mirror
+from eigen_zkvm_tpu.zkvm.guest_keccak import keccak256_ref, keccak_c_source
+from eigen_zkvm_tpu.zkvm.rv32_isa import execute
+
+# slot = keccak256(K || 0); balances[slot] += A; counter at slot 1 += 1;
+# RETURN mem[0:32] — PUSH/DUP/SWAP/MSTORE/SHA3/SLOAD/SSTORE/ADD/RETURN
+TOKEN_CODE = bytes.fromhex(
+    "600035" "600052" "6000602052" "6040600020"
+    "8054" "602035" "01" "90" "55"
+    "600154" "600101" "600155" "60206000f3")
+
+
+def test_compiler_produces_working_binaries():
+    """Recursion, loops, arrays, pointers, unsigned div/rem, casts —
+    classic compiler codegen patterns the hand assembler never emits."""
+    SRC = r"""
+int fib(int n) { if (n < 2) return n; return fib(n-1) + fib(n-2); }
+unsigned gcd(unsigned a, unsigned b) {
+    while (b != 0) { unsigned t = a % b; a = b; b = t; }
+    return a;
+}
+int arr[8] = {3, 1, 4, 1, 5, 9, 2, 6};
+int main() {
+    int i; int sum = 0;
+    for (i = 0; i < 8; i++) sum += arr[i];
+    unsigned char *p = (unsigned char *)0;  /* NULL-ish unused */
+    return sum * 1000000 + fib(10) * 1000 + (int)gcd(252u, 198u);
+}
+"""
+    _final, a0 = c_execute(SRC)
+    assert a0 == 31 * 1000000 + 55 * 1000 + 18
+
+
+def test_guest_keccak256_bit_exact():
+    """The in-guest keccak (unrolled rounds, u32 lane pairs) matches the
+    host reference, which matches the known empty-string digest."""
+    assert keccak256_ref(b"").hex() == (
+        "c5d2460186f7233c927e7db2dcc703c0e500b653ca82273b7bfad8045d85a470")
+    for msg in (b"abc", b"x" * 135, b"y" * 136, b"z" * 200):
+        blob = ", ".join(str(b) for b in msg)
+        src = keccak_c_source() + f"""
+unsigned char msg[{len(msg)}] = {{{blob}}};
+unsigned char dig[32];
+int main() {{
+    keccak256(msg, {len(msg)}u, dig);
+    return (int)((unsigned)dig[0] | ((unsigned)dig[1] << 8)
+         | ((unsigned)dig[2] << 16) | ((unsigned)dig[3] << 24));
+}}
+"""
+        _f, a0 = c_execute(src, max_cycles=1 << 24)
+        assert a0 == int.from_bytes(keccak256_ref(msg)[:4], "little"), msg
+
+
+def _run_guest(code, calldata, callvalue, storage):
+    src = build_guest_source(code, calldata, callvalue, storage)
+    program, entry, image0, ram_words, mem_base = load_c_elf(c_to_elf(src))
+    mem = {mem_base + i: int(w) for i, w in enumerate(image0) if w}
+    states, final = execute(program, entry, mem=mem, max_cycles=1 << 24)
+    return states, final
+
+
+def test_evm_bytecode_with_keccak_differential():
+    """Real EVM bytecode (mapping-slot keccak, storage read/write,
+    stack ops) interpreted by the compiled guest == the Python mirror."""
+    K, A = 0xDEADBEEF, 12345
+    calldata = K.to_bytes(32, "big") + A.to_bytes(32, "big")
+    storage = {1: 41}
+    rc, pairs, ret, dig = evm_mirror(TOKEN_CODE, calldata, 0, storage)
+    assert rc == 1 and dict(pairs)[1] == 42
+    slot = int.from_bytes(keccak256_ref(
+        K.to_bytes(32, "big") + (0).to_bytes(32, "big")), "big")
+    assert dict(pairs)[slot] == A
+    states, final = _run_guest(TOKEN_CODE, calldata, 0, storage)
+    assert final.regs[10] == int.from_bytes(dig[:4], "little")
+
+
+def test_evm_branching_and_arithmetic():
+    """JUMPI/JUMP, LT/GT/EQ/ISZERO, MUL/SUB and CALLVALUE paths."""
+    # if (callvalue < 100) { sstore(5, callvalue*3) } else { sstore(5, 7) }
+    code = bytes.fromhex(
+        "34"        # CALLVALUE            [v]
+        "6064"      # PUSH1 100            [v, 100]
+        "9010"      # SWAP1 LT             [v<100]
+        "6011"      # PUSH1 0x11 (then)
+        "57"        # JUMPI
+        "6007600555"  # PUSH1 7 PUSH1 5 SSTORE
+        "601a56"    # PUSH1 0x1a JUMP (end)
+        "5b"        # 0x11: JUMPDEST
+        "34600302"  # CALLVALUE PUSH1 3 MUL
+        "600555"    # PUSH1 5 SSTORE
+        "5b"        # 0x1a: JUMPDEST
+        "00")       # STOP
+    for cv, want in ((40, 120), (250, 7)):
+        rc, pairs, _ret, dig = evm_mirror(code, b"", cv, {})
+        assert rc == 0 and dict(pairs)[5] == want
+        states, final = _run_guest(code, b"", cv, {})
+        assert final.regs[10] == int.from_bytes(dig[:4], "little"), cv
+
+
+@pytest.mark.slow
+def test_compiled_binary_proves_end_to_end():
+    """A compiler-produced ELF (C fib + array walk) proves through the
+    full pipeline with RAM-image continuation digests — the
+    zkvm/src/lib.rs:172 compile->prove analog with a real front-end."""
+    from eigen_zkvm_tpu.zkvm.elf import elf_execute_and_prove
+    from eigen_zkvm_tpu.zkvm.rv32_lib import check_chain_publics
+
+    SRC = r"""
+int acc[16];
+int main() {
+    int i;
+    for (i = 0; i < 16; i++) acc[i] = i * i + 1;
+    int s = 0;
+    for (i = 0; i < 16; i++) s += acc[i];
+    return s;
+}
+"""
+    elf = c_to_elf(SRC)
+    proofs, pubs, machine, setup, ss = elf_execute_and_prove(
+        elf, n_bits=15, n_queries=2, include_exec_in_image=False)
+    assert pubs[-1]["x10_out"] == sum(i * i + 1 for i in range(16))
+    assert check_chain_publics(pubs)
