@@ -128,3 +128,65 @@ def test_tampered_boundary_image_rejected():
         {f"mem_in{j}": d_honest[1][j] for j in range(4)},
     ]
     assert check_chain_publics(honest)
+
+
+@pytest.mark.slow
+def test_evm_chunk_chain_bound_in_circuit():
+    """VERDICT r2 #6: the reth-vector RV32 chunks go through ChainMap
+    AGGREGATION — mem_in/mem_out digests chained INSIDE the aggregated
+    proof — and a non-chaining chunk pair is rejected by the aggregation
+    circuit itself (no host-side check_chain_publics involved).
+    Reference: zkvm/src/lib.rs:319-365 + stark_aggregation.sh:82-160."""
+    from eigen_zkvm_tpu.recursion.aggregation import aggregate_recursive1
+    from eigen_zkvm_tpu.recursion.compressor12 import (ChainMap, StarkOption,
+                                                       prove_compressed)
+    from eigen_zkvm_tpu.recursion.stark_verifier_circuit import build_main
+    from eigen_zkvm_tpu.stark.serializer import (join_zkin_chain,
+                                                 stark_proof_to_dict)
+    from eigen_zkvm_tpu.zkvm.evm import STATUS_OK, prove_state_test
+
+    res = prove_state_test(VECTOR, n_bits=11, rows_budget=512)
+    assert res["status"] == STATUS_OK and res["n_chunks"] >= 2
+    proofs, pubs = res["proofs"], res["publics"]
+    machine, setup, ss = res["machine"], res["setup"], res["ss"]
+    zkins = [stark_proof_to_dict(p, "GL") for p in proofs[:2]]
+
+    Q, FORCE = 1, 17
+    r1_zkins = []
+    r1_bundle = None
+    for z in zkins:
+        c12_proof, (c12_setup, c12_ss, _) = prove_compressed(
+            z, setup, ss, StarkOption(skip_main=True), n_queries=Q)
+        r1_proof, r1_bundle = prove_compressed(
+            stark_proof_to_dict(c12_proof, "GL"), c12_setup, c12_ss,
+            StarkOption(), n_queries=Q, force_n_bits=FORCE)
+        r1_zkins.append(stark_proof_to_dict(r1_proof, "GL"))
+    r1_setup, r1_ss, _ = r1_bundle
+
+    chain = ChainMap.for_machine(machine)
+    final_zkin, _ = aggregate_recursive1(
+        r1_zkins, r1_setup, r1_ss, force_n_bits=FORCE, n_queries=Q,
+        chain_map=chain)
+    names = [p.name for p in machine.pil.publics]
+    got = {nm: int(v) for nm, v in zip(names, final_zkin["publics"])}
+    for j in range(4):
+        assert got[f"mem_in{j}"] == pubs[0][f"mem_in{j}"]
+        assert got[f"mem_out{j}"] == pubs[1][f"mem_out{j}"]
+
+    # negative: chunk 0 joined with ITSELF is two individually-valid
+    # proofs whose boundary digests do NOT chain (mem_out of 0 != mem_in
+    # of 0) — the aggregation circuit must reject the witness
+    def rejected(a, b_):
+        try:
+            bad = build_main(join_zkin_chain(a, b_, chain),
+                             r1_setup.starkinfo, r1_setup.program, r1_ss,
+                             r1_setup.const_root,
+                             r1_setup.starkinfo.n_publics,
+                             StarkOption(verkey_input=True, agg_stage=True,
+                                         chain_map=chain))
+            return not bad.check()
+        except AssertionError:
+            return True
+
+    assert rejected(r1_zkins[0], r1_zkins[0]), \
+        "non-chaining EVM chunk boundary must fail the aggregation circuit"

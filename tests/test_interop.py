@@ -127,3 +127,55 @@ def test_pil2circom_onchain_renders():
         assert "MerkleHash(1," in txt
         if not opt.skip_main:
             assert "Sha256(" in txt and "publicsHash" in txt
+
+
+def test_pil2circom_output_pinned():
+    """Golden-hash pin on the rendered verifier.circom (VERDICT r2 #9):
+    the emitted circom is a byte-level interop contract (reference
+    stark_verifier_circom.rs) consumed by downstream circom/snark
+    tooling — a silent render drift must fail HERE, not in a prover."""
+    import hashlib
+
+    from eigen_zkvm_tpu.stark.pil2circom import StarkOption, pil2circom
+    from eigen_zkvm_tpu.stark.polsarray import PolsArray
+    from eigen_zkvm_tpu.stark.stark_setup import StarkSetup
+    from eigen_zkvm_tpu.stark.types import load_pil, load_starkstruct
+
+    GOLDEN_GL = {
+        "plain": "ea98722f0c8adbb1437fe753e2b8cee9"
+                 "3036c3aac08255da19dd64450a3a4d12",
+        "skip_main": "b30702641ad1dda55a2c523eb884d773"
+                     "a4c8911e50b66313945b07f968e99561",
+        "verkey": "3354c09d56cbf22071afa23a62a8109d"
+                  "5a8b5142ab966d0ba01e5d61511667c1",
+        "agg": "f1babe50f85ea10b88f94fbb52930a95"
+               "737dcac2f92510fb5151964c098f5b3f",
+    }
+    pil = load_pil(reference_fixture("fib.pil.json.gl"))
+    ss = load_starkstruct(reference_fixture("starkStruct.json.gl"))
+    cp = PolsArray(pil, PolsArray.CONSTANT).load(
+        reference_fixture("fib.const.gl"))
+    s = StarkSetup(cp, pil, ss)
+    opts = {"plain": StarkOption(),
+            "skip_main": StarkOption(skip_main=True),
+            "verkey": StarkOption(verkey_input=True),
+            "agg": StarkOption(verkey_input=True, agg_stage=True)}
+    for name, opt in opts.items():
+        txt = pil2circom(pil, s.const_root, ss, s.starkinfo, s.program, opt)
+        got = hashlib.sha256(txt.encode()).hexdigest()
+        assert got == GOLDEN_GL[name], (
+            f"verifier.circom ({name}) drifted: {got} — if the change is "
+            "intentional, re-pin after validating against the reference "
+            "renderer byte contract")
+
+    # BN128 (on-chain/top layer) variant
+    pil = load_pil(reference_fixture("fib.pil.json"))
+    ss = load_starkstruct(reference_fixture("starkStruct.json"))
+    cp = PolsArray(pil, PolsArray.CONSTANT).load(
+        reference_fixture("fib.const"))
+    s = StarkSetup(cp, pil, ss)
+    txt = pil2circom(pil, s.const_root, ss, s.starkinfo, s.program,
+                     StarkOption())
+    got = hashlib.sha256(txt.encode()).hexdigest()
+    assert got == ("8c7462913ac63291848056fb3a04b429"
+                   "ae942b72d8207cc68e4252cbab3f28cc")
