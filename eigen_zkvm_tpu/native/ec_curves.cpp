@@ -1106,8 +1106,14 @@ static void msm_affine_ifma(const std::vector<AffPt<FF>>& pts,
         to_mont52_value<POL::NLW, POL::FPP, POL::LW>(v, one52);
         v[0] = (u64)1 << SHIFT_BITS;
         to_mont52_value<POL::NLW, POL::FPP, POL::LW>(v, cshift);
-        v[0] = 256;
+        // 2^(2*SHIFT_BITS) = R52^2 / R_ff^2: re-enters the m52-mont
+        // domain after the scalar FF-mont batch-inversion round-trip.
+        // (A literal 256 here is the BN254 special case SHIFT_BITS=4 —
+        // it silently corrupted every BLS12-381 IFMA MSM, SHIFT_BITS=32.)
+        v[0] = 0;
+        v[(2 * SHIFT_BITS) / 64] = (u64)1 << ((2 * SHIFT_BITS) % 64);
         to_mont52_value<POL::NLW, POL::FPP, POL::LW>(v, c256);
+        v[(2 * SHIFT_BITS) / 64] = 0;
         // inverse of the shift constant, canonical value
         typename FQ::T sh;
         memset(sh.v, 0, sizeof(sh.v));

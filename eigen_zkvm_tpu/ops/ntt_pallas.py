@@ -31,10 +31,23 @@ import numpy as np
 from ..fields import gl64 as gl
 from . import gl_jax as g
 
-# largest in-kernel transform: block [2^KMAX, LANES] u32-pairs (in + out +
-# per-level temporaries on the Mosaic scoped-vmem stack)
+# largest in-kernel transform: block [2^KMAX, lanes] u32-pairs (in + out +
+# per-level temporaries on the Mosaic scoped-vmem stack); compile time is
+# superlinear in the level count, so bigger KMAX trades one-time compile
+# for fewer HBM passes
 KMAX = 9
 LANES = 128
+
+
+def _lane_tile(nbits: int, M: int) -> int:
+    """Lane-tile width per grid step: target ~2 MB blocks so SMALL
+    transforms (the four-step's inner factors) don't dissolve into
+    thousands of tiny grid steps whose fixed overhead dominates."""
+    target = max((2 * 1024 * 1024) // ((1 << nbits) * 8), 1)
+    t = LANES
+    while t * 2 <= min(target, M) and t < 4096:
+        t *= 2
+    return t
 
 
 def _c32(x: int):
@@ -158,15 +171,16 @@ def _ntt_axis0_call(lo, hi, tables_flat, nbits: int, root: int,
 
     n = 1 << nbits
     M = lo.shape[1]
-    assert M % LANES == 0, (M, LANES)
-    grid = (M // LANES,)
+    lanes = _lane_tile(nbits, M)
+    assert M % lanes == 0, (M, lanes)
+    grid = (M // lanes,)
     shapes = _level_shapes(nbits)
     tw_specs = []
     for shp in shapes:
         spec = pl.BlockSpec(shp, (lambda rank: (lambda i: (0,) * rank))(
             len(shp)), memory_space=pltpu.VMEM)
         tw_specs += [spec, spec]
-    spec = pl.BlockSpec((n, LANES), lambda i: (0, i),
+    spec = pl.BlockSpec((n, lanes), lambda i: (0, i),
                         memory_space=pltpu.VMEM)
     out_shape = [jax.ShapeDtypeStruct((n, M), jnp.uint32)] * 2
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
@@ -191,7 +205,7 @@ def ntt_axis0(pair, nbits: int, root: int | None = None,
     if root is None:
         root = int(gl.root_of_unity(nbits))
     M = lo.shape[1]
-    pad = (-M) % LANES
+    pad = (-M) % _lane_tile(nbits, max(M, LANES))
     if pad:
         lo = jnp.pad(lo, ((0, 0), (0, pad)))
         hi = jnp.pad(hi, ((0, 0), (0, pad)))

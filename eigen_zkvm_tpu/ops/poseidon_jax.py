@@ -87,8 +87,25 @@ def _add_row(state, crow):
     return g.add(state, (crow[0][None, :], crow[1][None, :]))
 
 
+def _use_mxu(B: int) -> bool:
+    """Route big batches through the MXU Pallas kernel on TPU
+    (EIGEN_ZKVM_POSEIDON=xla|mxu overrides)."""
+    import os
+
+    mode = os.environ.get("EIGEN_ZKVM_POSEIDON", "auto")
+    if mode == "xla":
+        return False
+    if mode == "mxu":
+        return True
+    return B >= 2048 and jax.default_backend() == "tpu"
+
+
 def permute(state):
     """state: [B, 12] u32 pair -> [B, 12] u32 pair."""
+    if _use_mxu(state[0].shape[0]):
+        from . import poseidon_mxu
+
+        return poseidon_mxu.permute(state)
     state = _add_row(state, _C0)
 
     def full_round(st, crow):

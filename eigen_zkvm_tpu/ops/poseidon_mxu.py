@@ -121,11 +121,14 @@ def _mds_mxu(st, w):
         axis=0)                                       # [8*12, B] a-major
     # reorder to (j, a)-major rows: [8, 12, B] -> [12, 8, B] -> [96, B]
     limbs = limbs.reshape(8, T, B).transpose(1, 0, 2).reshape(8 * T, B)
-    limbs = limbs.astype(jnp.float32).astype(jnp.bfloat16)
+    # Mosaic has no u32->f32 convert; values are < 256 so the route
+    # through i32 is exact
+    limbs = limbs.astype(jnp.int32).astype(jnp.float32).astype(jnp.bfloat16)
     acc = jax.lax.dot_general(
         w, limbs, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32)           # [180, B]
-    d3 = acc.astype(jnp.uint32).reshape(T, _NC, B)    # digits < 2^23, exact
+    d3 = acc.astype(jnp.int32).astype(jnp.uint32).reshape(
+        T, _NC, B)                                    # digits < 2^23, exact
     d = [d3[:, c, :] for c in range(_NC)]             # 15 x [12, B]
     # byte digits -> base-2^16 digits e_m < 2^32
     e = [d[2 * m] + (d[2 * m + 1] << np.uint32(8)) for m in range(7)]
@@ -155,47 +158,69 @@ def _mds_mxu(st, w):
     return g.sub(r, (zero, w4))              # - w4*2^32 (2^128 ≡ -2^32)
 
 
-def _ladder(st, wm, wp):
+def _const_arrays():
+    """The per-round constant tensors, shaped exactly as the ladder
+    consumes them (the Pallas kernel takes them as INPUTS — Mosaic
+    rejects captured non-scalar constants).  Order:
+    c0[12,1]x2, fullA[3,12,1]x2, mid[12,1]x2, pc[22,1,1]x2,
+    prow[22,12,1]x2, pcol[22,11,1]x2, fullB[3,12,1]x2."""
+    srows = _S.reshape(_N_P, 2 * T - 1)
+
+    def stack(rows):
+        return (np.stack([_col_pair(r)[0] for r in rows]),
+                np.stack([_col_pair(r)[1] for r in rows]))
+
+    c0 = _col_pair(_C[0:T])
+    fa = stack([_C[(r + 1) * T : (r + 2) * T] for r in range(_HALF_F - 1)])
+    mid = _col_pair(_C[_HALF_F * T : (_HALF_F + 1) * T])
+    pc_l, pc_h = _col_pair(_C[(_HALF_F + 1) * T
+                              : (_HALF_F + 1) * T + _N_P])
+    pc = (pc_l.reshape(_N_P, 1, 1), pc_h.reshape(_N_P, 1, 1))
+    prow = stack([srows[r, :T] for r in range(_N_P)])
+    pcol = stack([srows[r, T:] for r in range(_N_P)])
+    base = (_HALF_F + 1) * T + _N_P
+    fb = stack([_C[base + r * T : base + (r + 1) * T]
+                for r in range(_HALF_F - 1)])
+    flat = []
+    for pair in (c0, fa, mid, pc, prow, pcol, fb):
+        flat += [pair[0], pair[1]]
+    return flat
+
+
+_CONSTS = _const_arrays()
+
+
+def _ladder(st, wm, wp, consts, unroll: bool = False):
     """The 30-round permutation over a [12, B] pair; wm/wp are the
-    [180, 96] bf16 weight arrays.  Pure jnp — runs identically inside the
-    Pallas kernel and as a plain-XLA reference."""
+    [180, 96] bf16 weight arrays, `consts` the _const_arrays() tensors.
+    Pure jnp — runs identically inside the Pallas kernel (unroll=True:
+    Mosaic cannot lower lax.scan with stacked xs) and as a plain-XLA
+    reference (unroll=False: XLA compile time is superlinear in
+    straight-line depth, the scan keeps ONE round body)."""
+    (c0l, c0h, fal, fah, midl, midh, pcl, pch,
+     prl, prh, pkl, pkh, fbl, fbh) = consts
 
-    def add_row(state, crow):
-        cl, ch = _col_pair(crow)
-        return _add_nc(state, (cl, ch))
-
-    def full_rounds(state, crows):
-        """lax.scan over full rounds: ONE compiled round body (XLA compile
-        time is superlinear in straight-line depth — unrolling 8 rounds
-        of pow7+MDS chains takes minutes, the scan seconds)."""
-        cl = np.stack([_col_pair(c)[0] for c in crows])
-        ch = np.stack([_col_pair(c)[1] for c in crows])
-
+    def full_rounds(state, cl, ch):
         def body(carry, xs):
             s = _pow7(carry)
             s = _add_nc(s, (xs[0], xs[1]))
             s = _mds_mxu(s, wm)
             return s, None
 
+        if unroll:
+            for r in range(cl.shape[0]):
+                state, _ = body(state, (cl[r], ch[r]))
+            return state
         state, _ = jax.lax.scan(body, state, (cl, ch))
         return state
 
-    st = add_row(st, _C[0:T])
-    st = full_rounds(st, [_C[(r + 1) * T : (r + 2) * T]
-                          for r in range(_HALF_F - 1)])
+    st = _add_nc(st, (c0l, c0h))
+    st = full_rounds(st, fal, fah)
     st = _pow7(st)
-    st = add_row(st, _C[_HALF_F * T : (_HALF_F + 1) * T])
+    st = _add_nc(st, (midl, midh))
     st = _mds_mxu(st, wp)
 
-    # the 22 partial rounds as ONE lax.scan over per-round constants —
-    # the traced/compiled graph carries a single round body
-    srows = _S.reshape(_N_P, 2 * T - 1)
-    c_l, c_h = _col_pair(_C[(_HALF_F + 1) * T : (_HALF_F + 1) * T + _N_P])
-    row_l = np.stack([_col_pair(srows[r, :T])[0] for r in range(_N_P)])
-    row_h = np.stack([_col_pair(srows[r, :T])[1] for r in range(_N_P)])
-    col_l = np.stack([_col_pair(srows[r, T:])[0] for r in range(_N_P)])
-    col_h = np.stack([_col_pair(srows[r, T:])[1] for r in range(_N_P)])
-
+    # the 22 partial rounds as ONE lax.scan over per-round constants
     def pround(carry, xs):
         slo, shi = carry
         cl, ch, rl, rh, kl, kh = xs
@@ -209,20 +234,24 @@ def _ladder(st, wm, wp):
         return (jnp.concatenate([new0[0], tail[0]], axis=0),
                 jnp.concatenate([new0[1], tail[1]], axis=0)), None
 
-    st, _ = jax.lax.scan(
-        pround, st,
-        (c_l.reshape(_N_P, 1, 1), c_h.reshape(_N_P, 1, 1),
-         row_l, row_h, col_l, col_h))
-    base = (_HALF_F + 1) * T + _N_P
-    st = full_rounds(st, [_C[base + r * T : base + (r + 1) * T]
-                          for r in range(_HALF_F - 1)])
+    if unroll:
+        for r in range(_N_P):
+            st, _ = pround(st, (pcl[r], pch[r], prl[r], prh[r],
+                                pkl[r], pkh[r]))
+    else:
+        st, _ = jax.lax.scan(pround, st, (pcl, pch, prl, prh, pkl, pkh))
+    st = full_rounds(st, fbl, fbh)
     st = _pow7(st)
     st = _mds_mxu(st, wm)
     return g._canon(st[0], st[1])
 
 
-def _kernel(wm_ref, wp_ref, lo_ref, hi_ref, out_lo_ref, out_hi_ref):
-    out = _ladder((lo_ref[...], hi_ref[...]), wm_ref[...], wp_ref[...])
+def _kernel(*refs):
+    wm_ref, wp_ref = refs[0], refs[1]
+    consts = [r[...] for r in refs[2:16]]
+    lo_ref, hi_ref, out_lo_ref, out_hi_ref = refs[16:20]
+    out = _ladder((lo_ref[...], hi_ref[...]), wm_ref[...], wp_ref[...],
+                  consts, unroll=True)
     out_lo_ref[...] = out[0]
     out_hi_ref[...] = out[1]
 
@@ -239,7 +268,8 @@ def _ref_compiler_options() -> dict | None:
 @partial(jax.jit, compiler_options=None)
 def _permute_ref_tpu(state_lo, state_hi):
     return _ladder((state_lo, state_hi),
-                   jnp.asarray(_W_M), jnp.asarray(_W_PM))
+                   jnp.asarray(_W_M), jnp.asarray(_W_PM),
+                   [jnp.asarray(c) for c in _CONSTS])
 
 
 _permute_ref_cpu = None
@@ -253,7 +283,8 @@ def permute_ref(state_lo, state_hi):
     if _permute_ref_cpu is None:
         _permute_ref_cpu = jax.jit(
             lambda a, b: _ladder((a, b), jnp.asarray(_W_M),
-                                 jnp.asarray(_W_PM)),
+                                 jnp.asarray(_W_PM),
+                                 [jnp.asarray(c) for c in _CONSTS]),
             compiler_options=_ref_compiler_options())
     return _permute_ref_cpu(state_lo, state_hi)
 
@@ -272,14 +303,19 @@ def permute_t(state_lo, state_hi, block: int = 1024,
                         memory_space=pltpu.VMEM)
     wspec = pl.BlockSpec((T * _NC, T * 8), lambda i: (0, 0),
                          memory_space=pltpu.VMEM)
+    cspecs = [pl.BlockSpec(c.shape, (lambda rank: (
+        lambda i: (0,) * rank))(c.ndim), memory_space=pltpu.VMEM)
+        for c in _CONSTS]
     out_shape = [jax.ShapeDtypeStruct((T, B), jnp.uint32)] * 2
     params = pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024)
     lo, hi = pl.pallas_call(
         _kernel, grid=grid,
-        in_specs=[wspec, wspec, spec, spec], out_specs=[spec, spec],
+        in_specs=[wspec, wspec] + cspecs + [spec, spec],
+        out_specs=[spec, spec],
         out_shape=out_shape, interpret=interpret,
         compiler_params=params,
-    )(jnp.asarray(_W_M), jnp.asarray(_W_PM), state_lo, state_hi)
+    )(jnp.asarray(_W_M), jnp.asarray(_W_PM),
+      *[jnp.asarray(c) for c in _CONSTS], state_lo, state_hi)
     return lo, hi
 
 

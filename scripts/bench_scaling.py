@@ -86,5 +86,107 @@ def measure(nbits: int = 12, nbits_ext: int = 13, n_pols: int = 8):
     return out
 
 
+def measure_full_prove(nbits: int = 12, width: int = 8,
+                       cost_nbits: int = 16):
+    """FULL sharded prove per mesh size (round-2 verdict #3: not just the
+    commit step): every mesh size must produce a proof byte-identical to
+    the single-device one (run at 2^nbits — a full CPU prove), and the
+    dominant stage is cost-analyzed per device at 2^cost_nbits
+    (compile-only: the SPMD program is the real thing; running it on
+    shared virtual cores would measure nothing), with analytic per-stage
+    collective bytes."""
+    import jax
+    from jax.sharding import Mesh
+
+    from eigen_zkvm_tpu.parallel import meshctx
+    from eigen_zkvm_tpu.parallel.sharded_prove import sharded_prove
+    from eigen_zkvm_tpu.stark.serializer import stark_proof_to_json
+    from eigen_zkvm_tpu.stark.stark_setup import StarkSetup
+    from eigen_zkvm_tpu.stark.types import StarkStruct, Step
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from bench_big import build_chain_air
+
+    devs = jax.devices("cpu")
+    pil, const_pols, cm = build_chain_air(nbits, width)
+    steps = []
+    cur = nbits + 1
+    while cur > 4:
+        steps.append(Step(cur))
+        cur -= 5
+    steps.append(Step(cur))
+    ss = StarkStruct(nBits=nbits, nBitsExt=nbits + 1, nQueries=4,
+                     verificationHashType="GL", steps=steps)
+    setup = StarkSetup(const_pols, pil, ss)
+
+    out = {"nbits": nbits, "n_pols": width}
+    import time
+
+    ref_json = None
+    walls = {}
+    commit_flops = {}
+    for m in (1, 2, 4, 8):
+        mesh = Mesh(np.asarray(devs[:m]), ("model",))
+        t0 = time.perf_counter()
+        proof = sharded_prove(cm, const_pols, setup, ss, mesh)
+        walls[str(m)] = round(time.perf_counter() - t0, 2)
+        pj = stark_proof_to_json(proof)
+        if ref_json is None:
+            ref_json = pj
+        else:
+            assert pj == ref_json, f"proof differs at mesh size {m}"
+        # per-device cost of the dominant jitted stage (commit: LDE +
+        # Merkle levels) at 2^cost_nbits on this mesh size
+        from eigen_zkvm_tpu.ops import commit_tpu
+
+        with meshctx.activate(mesh, "model"):
+            ma = meshctx.active()
+            rng = np.random.default_rng(2)
+            big = rng.integers(0, 2**63, size=(1 << cost_nbits, width),
+                               dtype=np.uint64)
+            lo = (big & np.uint64(0xFFFFFFFF)).astype(np.uint32)
+            hi = (big >> np.uint64(32)).astype(np.uint32)
+            lowered = commit_tpu._lde_and_levels.lower(
+                lo, hi, cost_nbits, cost_nbits + 1, width, ma=ma)
+            cost = lowered.compile().cost_analysis()
+            if isinstance(cost, list):
+                cost = cost[0]
+            commit_flops[str(m)] = float(cost.get("flops", 0.0))
+    out["proofs_byte_identical"] = True
+    out["wall_s_virtual_cpu"] = walls  # NOT a scaling claim: cores shared
+    out["commit_flops_per_device"] = commit_flops
+    f1 = commit_flops["1"]
+    out["full_prove_commit_scaling_efficiency"] = {
+        str(m): round(f1 / (m * commit_flops[str(m)]), 4)
+        for m in (2, 4, 8) if commit_flops[str(m)]}
+    # analytic per-stage collective bytes per device at mesh size m:
+    #   commit  — all_to_all of the pol-sharded LDE into row sharding
+    #   vm      — collective-permute halo (one +next row per neighbor)
+    #   evals   — psum of the [3] eval accumulators per eval point
+    #   fri     — all_gather of the <=MERKLE_TAIL replicated tree tail
+    out["cost_nbits"] = cost_nbits
+    n_ext = 1 << (cost_nbits + 1)
+    per_stage = {}
+    for m in (2, 4, 8):
+        a2a = 2 * 4 * n_ext * (width // m) * (m - 1) / m if width >= m else 0
+        halo = 2 * 4 * width  # one boundary row x width x u32 pair
+        evals = 3 * 8 * 2     # [3] GL-pair accumulators, psum
+        tail = 2 * 4 * 4 * 2048 * (m - 1) / m  # replicate the scan tail
+        per_stage[str(m)] = {"commit_all_to_all": int(a2a),
+                             "vm_halo_permute": int(halo),
+                             "evals_psum": int(evals),
+                             "merkle_tail_all_gather": int(tail)}
+    out["ici_bytes_per_device_per_stage"] = per_stage
+    return out
+
+
 if __name__ == "__main__":
-    print(json.dumps(measure()))
+    res = measure()
+    try:
+        res["full_prove"] = measure_full_prove(
+            int(os.environ.get("EIGEN_SCALING_FULL_NBITS", "12")),
+            cost_nbits=int(os.environ.get(
+                "EIGEN_SCALING_COST_NBITS", "16")))
+    except Exception as e:  # record, never break the commit-step metrics
+        res["full_prove_error"] = f"{type(e).__name__}: {e}"
+    print(json.dumps(res))

@@ -114,3 +114,32 @@ def test_r1cs_eval_matches_python():
             got = int(vals[j, 0]) | int(vals[j, 1]) << 64 \
                 | int(vals[j, 2]) << 128 | int(vals[j, 3]) << 192
             assert got == exp, f"matrix {sel} row {j}"
+
+
+def test_bls_g1_msm_ifma_threshold_differential():
+    """n >= 1024 crosses into the AVX-512 IFMA batch-affine tree; the
+    m52<->FF-mont domain correction is 2^(2*SHIFT_BITS), which is
+    CURVE-DEPENDENT (BN254: 2^8, BLS12-381: 2^64) — a hardcoded 256
+    silently corrupted every large BLS MSM (round-3 find: the gnark-
+    bridge outer prove failed verification at 7.8M constraints)."""
+    import random
+
+    from eigen_zkvm_tpu import native
+    from eigen_zkvm_tpu.curves import bls12_381 as bls
+    from eigen_zkvm_tpu.curves.msm import msm_g1
+
+    if native.ec_bls12381 is None:
+        import pytest
+
+        pytest.skip("native EC library unavailable")
+    rng = random.Random(9)
+    n = 1100  # > 1024: IFMA path; odd size exercises the tail lanes
+    acc = bls.g1_from_affine(bls.G1_GEN)
+    pts = []
+    for _ in range(n):
+        pts.append(bls.g1_to_affine(acc))
+        acc = bls.g1_double(acc)
+    for scalars in ([1] * n,                      # one long bucket run
+                    [rng.randrange(bls.R) for _ in range(n)]):
+        got = native.ec_bls12381.g1_msm(pts, scalars)
+        assert got == msm_g1(bls, pts, scalars)
