@@ -153,6 +153,26 @@ def _timed_chain(build_fn, reps: int = 3):
     return run
 
 
+def _chain_delta(run, x0, reps: int, tries: int = 3) -> float:
+    """Per-op seconds from chained runs: min over `tries` of each length
+    (shared-box noise), difference-of-chains to cancel the readback RTT,
+    with a fallback to the long chain's average if noise still wins."""
+    best = {}
+    for k in (1, 1 + reps):
+        run(k, x0)  # warm the compile
+        best[k] = min(_t_once(run, k, x0) for _ in range(tries))
+    dt = (best[1 + reps] - best[1]) / reps
+    if dt <= 0:
+        dt = best[1 + reps] / (1 + reps)
+    return dt
+
+
+def _t_once(run, k, x0):
+    t0 = time.perf_counter()
+    run(k, x0)
+    return time.perf_counter() - t0
+
+
 def bench_unit_rates():
     """Per-chip Poseidon hashes/s and NTT butterflies/s (BASELINE.md),
     measured device-resident with dependency-chained reps."""
@@ -176,13 +196,7 @@ def bench_unit_rates():
         return (r[0][: 1 << nbits], r[1][: 1 << nbits])
 
     run = _timed_chain(one_interp)
-    ts = {}
-    for k in (1, 1 + reps):
-        run(k, pair)  # warm the compile
-        t0 = time.perf_counter()
-        run(k, pair)
-        ts[k] = time.perf_counter() - t0
-    dt = (ts[1 + reps] - ts[1]) / reps
+    dt = _chain_delta(run, pair, reps)
     n, ne = 1 << nbits, 1 << (nbits + 1)
     butterflies = (n // 2 * nbits + ne // 2 * (nbits + 1)) * npols
     out["ntt_butterflies_per_s"] = round(butterflies / dt)
@@ -208,13 +222,7 @@ def bench_unit_rates():
         return (st[0].T, st[1].T)
 
     run = _timed_chain(one_perm)
-    ts = {}
-    for k in (1, 1 + reps):
-        run(k, (lo, hi))
-        t0 = time.perf_counter()
-        run(k, (lo, hi))
-        ts[k] = time.perf_counter() - t0
-    dt = (ts[1 + reps] - ts[1]) / reps
+    dt = _chain_delta(run, (lo, hi), reps)
     out["poseidon_gl_perms_per_s"] = round(height / dt)
     out["poseidon_gl_hashes_per_s"] = out["poseidon_gl_perms_per_s"]
     out["poseidon_pct_of_vpu_peak"] = round(
@@ -275,7 +283,7 @@ def bench_msm_rates(device: bool):
 
 def start_scaling():
     """SPMD scaling measurement on the 8-virtual-device CPU mesh as a
-    subprocess.  Launched AFTER the timed fib section (it burns CPU);
+    subprocess, launched after ALL timed sections (single host core);
     output goes to temp files, not pipes, so a chatty child can never
     block on a full pipe buffer mid-benchmark."""
     import subprocess
@@ -299,12 +307,6 @@ def main():
 
     # ---- primary metric first, with nothing else running on the box
     fib = bench_fib()
-
-    scaling = None
-    try:
-        scaling = start_scaling()
-    except Exception:
-        pass
 
     extra = {}
     try:
@@ -330,10 +332,18 @@ def main():
         extra.update(bench_msm_rates(device))
     except Exception as e:
         extra["msm_error"] = f"{type(e).__name__}: {e}"
+    # the SPMD scaling measurement runs LAST and alone: this box has ONE
+    # host core, so "concurrent" subprocesses corrupt every host-side
+    # timing (round-2 verdict weak #1, generalized)
+    scaling = None
+    try:
+        scaling = start_scaling()
+    except Exception:
+        pass
     if scaling is not None:
         proc, out_path, err_path = scaling
         try:
-            left = max(60.0, deadline - time.monotonic())
+            left = max(900.0, deadline - time.monotonic())
             proc.wait(timeout=left)
             with open(out_path) as f:
                 lines = [ln for ln in f.read().strip().splitlines() if ln]

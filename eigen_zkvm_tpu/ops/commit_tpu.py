@@ -49,6 +49,12 @@ def _flatten_levels(levels, stack):
             jnp.concatenate(parts_hi, axis=0))
 
 
+def _flatten_eager(levels, stack):
+    """_flatten_levels outside any enclosing jit (eager jnp concat):
+    used by the split >= 2^23 commit path."""
+    return _flatten_levels(levels, stack)
+
+
 def _level_meta(height: int):
     """(true sizes, storage offsets) per level, mirroring
     poseidon_jax.merkle_levels' unrolled/scan-tail structure."""
@@ -83,6 +89,12 @@ def _lde_and_levels(lo, hi, nbits: int, nbits_ext: int, n_pols: int,
     lde = meshctx.rows(ntt_jax.interpolate(pair, nbits, nbits_ext), ma)
     levels, stack = pj.merkle_levels(lde, n_pols, 1 << nbits_ext, ma=ma)
     return lde, _flatten_levels(levels, stack)
+
+
+@partial(jax.jit, static_argnames=("nbits", "nbits_ext", "ma"))
+def _lde_only(lo, hi, nbits: int, nbits_ext: int, ma=None):
+    pair = meshctx.cols((lo, hi), ma)
+    return meshctx.rows(ntt_jax.interpolate(pair, nbits, nbits_ext), ma)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "ma"))
@@ -206,8 +218,17 @@ def tpu_extend_and_merkelize(buf: np.ndarray, nbits: int,
         return MerkleTreeGL().merkelize(
             np.zeros((1 << nbits_ext, 0), dtype=np.uint64), 0, 1 << nbits_ext)
     lo, hi = _split(np.ascontiguousarray(buf))
-    lde, flat = _lde_and_levels(lo, hi, nbits, nbits_ext, n_pols,
-                                ma=meshctx.active())
+    if nbits_ext >= 23 and meshctx.active() is None:
+        # split programs: the fused interpolate+all-levels graph at
+        # >= 2^23 (13+ unrolled hash levels) crashes the remote XLA
+        # compile helper — the LDE runs as one program and every Merkle
+        # level as its own (device arrays flow between them)
+        lde = _lde_only(lo, hi, nbits, nbits_ext, ma=None)
+        levels, stack = pj.merkle_levels_eager(lde, n_pols, 1 << nbits_ext)
+        flat = _flatten_eager(levels, stack)
+    else:
+        lde, flat = _lde_and_levels(lo, hi, nbits, nbits_ext, n_pols,
+                                    ma=meshctx.active())
     if cache is not None and cache_key:
         cache[cache_key] = lde
     tree = DeviceMerkleTreeGL(flat, *_level_meta(1 << nbits_ext))

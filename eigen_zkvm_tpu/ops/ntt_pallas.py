@@ -40,10 +40,12 @@ LANES = 128
 
 
 def _lane_tile(nbits: int, M: int) -> int:
-    """Lane-tile width per grid step: target ~2 MB blocks so SMALL
-    transforms (the four-step's inner factors) don't dissolve into
-    thousands of tiny grid steps whose fixed overhead dominates."""
-    target = max((2 * 1024 * 1024) // ((1 << nbits) * 8), 1)
+    """Lane-tile width per grid step: target ~256 KB blocks — small
+    transforms (the four-step's inner factors) must not dissolve into
+    thousands of tiny grid steps, but bigger blocks choke the VMEM
+    double-buffering (measured: [512, 512] blocks run 9x slower than
+    [512, 128])."""
+    target = max((256 * 1024) // ((1 << nbits) * 8), 1)
     t = LANES
     while t * 2 <= min(target, M) and t < 4096:
         t *= 2

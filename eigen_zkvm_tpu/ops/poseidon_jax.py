@@ -88,15 +88,17 @@ def _add_row(state, crow):
 
 
 def _use_mxu(B: int) -> bool:
-    """Route big batches through the MXU Pallas kernel on TPU
-    (EIGEN_ZKVM_POSEIDON=xla|mxu overrides)."""
+    """EIGEN_ZKVM_POSEIDON=mxu routes permutes through the MXU Pallas
+    kernel.  OFF by default even on TPU: the kernel is 2.2x faster
+    standalone (12.2M perms/s, [12, B] layout), but this [B, 12]
+    interface pays a minor-dim-12 transpose each way, and A/B of the
+    full 2^20x8 prove measured the routing 2.2x SLOWER end-to-end
+    (38.8s vs 17.5s).  Use the kernel via its native permute_t layout."""
     import os
 
     mode = os.environ.get("EIGEN_ZKVM_POSEIDON", "auto")
-    if mode == "xla":
+    if mode != "mxu":
         return False
-    if mode == "mxu":
-        return True
     return B >= 2048 and jax.default_backend() == "tpu"
 
 
@@ -238,8 +240,8 @@ def merkle_levels(elements, width: int, height: int, ma=None):
         if n % 2 == 1:
             lvl = (jnp.concatenate([lvl[0], jnp.zeros((1, 4), jnp.uint32)], axis=0),
                    jnp.concatenate([lvl[1], jnp.zeros((1, 4), jnp.uint32)], axis=0))
-        pairs = (jnp.concatenate([lvl[0][0::2], lvl[0][1::2]], axis=1),
-                 jnp.concatenate([lvl[1][0::2], lvl[1][1::2]], axis=1))
+        m2 = lvl[0].shape[0]
+        pairs = (lvl[0].reshape(m2 // 2, 8), lvl[1].reshape(m2 // 2, 8))
         B = pairs[0].shape[0]
         st = (jnp.zeros((B, 4), jnp.uint32), jnp.zeros((B, 4), jnp.uint32))
         lvl = meshctx.rows(hash_n(pairs, st), ma)
@@ -264,6 +266,66 @@ def merkle_levels(elements, width: int, height: int, ma=None):
 
     _, stack = jax.lax.scan(step, lvl, None, length=t)
     return levels, stack
+
+
+@partial(jax.jit, static_argnames=("width",))
+def _hash_leaves_jit(elements, width: int):
+    return hash_leaves(elements, width)
+
+
+@jax.jit
+def _level_step_jit(lvl):
+    """One binary Merkle level (even size): [n,4] pair -> [n/2,4] pair.
+    Sibling pairing is a RESHAPE (adjacent rows), not a strided gather —
+    same values, and the strided form fails to compile at 2^24 rows."""
+    n = lvl[0].shape[0]
+    pairs = (lvl[0].reshape(n // 2, 8), lvl[1].reshape(n // 2, 8))
+    B = pairs[0].shape[0]
+    st = (jnp.zeros((B, 4), jnp.uint32), jnp.zeros((B, 4), jnp.uint32))
+    return hash_n(pairs, st)
+
+
+@jax.jit
+def _tail_stack_jit(lvl):
+    """The constant-shape scan tail over a power-of-two [T,4] level."""
+    T = lvl[0].shape[0]
+    t = T.bit_length() - 1
+
+    def step(carry, _):
+        clo, chi = carry
+        plo = clo.reshape((-1, 8))
+        phi = chi.reshape((-1, 8))
+        z = jnp.zeros((plo.shape[0], 4), jnp.uint32)
+        hlo, hhi = hash_n((plo, phi), (z, z))
+        new = (jnp.concatenate([hlo, clo[T // 2 :]], axis=0),
+               jnp.concatenate([hhi, chi[T // 2 :]], axis=0))
+        return new, new
+
+    _, stack = jax.lax.scan(step, lvl, None, length=t)
+    return stack
+
+
+def merkle_levels_eager(elements, width: int, height: int):
+    """merkle_levels semantics with EACH LEVEL as its own jitted program
+    (device arrays flow between them).  The single fused program at
+    >= 2^23 leaves (13+ unrolled levels) crashes the remote XLA compile
+    helper; per-level programs compile in seconds each and the extra
+    dispatch latency is noise at that size.  Single-device only."""
+    lvl = _hash_leaves_jit(elements, width)
+    levels = [lvl]
+    n = height
+    while n > 1 and (n > MERKLE_TAIL or (n & (n - 1))):
+        if n % 2 == 1:
+            lvl = (jnp.concatenate([lvl[0], jnp.zeros((1, 4), jnp.uint32)],
+                                   axis=0),
+                   jnp.concatenate([lvl[1], jnp.zeros((1, 4), jnp.uint32)],
+                                   axis=0))
+        lvl = _level_step_jit(lvl)
+        levels.append(lvl)
+        n = (n - 1) // 2 + 1
+    if n == 1:
+        return levels, None
+    return levels, _tail_stack_jit(lvl)
 
 
 @partial(jax.jit, static_argnums=(1, 2))

@@ -131,3 +131,32 @@ int main() {
         elf, n_bits=15, n_queries=2, include_exec_in_image=False)
     assert pubs[-1]["x10_out"] == sum(i * i + 1 for i in range(16))
     assert check_chain_publics(pubs)
+
+
+@pytest.mark.slow
+def test_evm_contract_proves_with_continuations():
+    """The FULL capability in one proof chain: real EVM bytecode (mapping
+    -slot keccak + storage updates) interpreted by the C-compiled guest,
+    proven across RAM-image continuation chunks, with the post-state
+    digest bound to the boundary publics (x10 = digest word0).
+    Reference: zkvm/program/evm + zkvm/src/lib.rs:231."""
+    from eigen_zkvm_tpu.zkvm.elf import elf_execute_and_prove
+    from eigen_zkvm_tpu.zkvm.guest_keccak import keccak256_ref
+    from eigen_zkvm_tpu.zkvm.rv32_lib import check_chain_publics
+
+    K, A = 0xDEADBEEF, 12345
+    calldata = K.to_bytes(32, "big") + A.to_bytes(32, "big")
+    storage = {1: 41}
+    rc, pairs, ret, dig = evm_mirror(TOKEN_CODE, calldata, 0, storage)
+    src = build_guest_source(TOKEN_CODE, calldata, 0, storage)
+    proofs, pubs, machine, setup, ss = elf_execute_and_prove(
+        c_to_elf(src), n_bits=16, n_queries=2,
+        include_exec_in_image=False)
+    assert len(proofs) >= 2, "should cross chunk boundaries"
+    assert check_chain_publics(pubs)
+    # post-state digest word0 (the guest's return value) in the publics
+    assert pubs[-1]["x10_out"] == int.from_bytes(dig[:4], "little")
+    # slot value provable end to end: the mirror says balances[slot] == A
+    slot = int.from_bytes(keccak256_ref(
+        K.to_bytes(32, "big") + (0).to_bytes(32, "big")), "big")
+    assert dict(pairs)[slot] == A
