@@ -1,8 +1,10 @@
 """GF(p^5) quintic extension of Goldilocks, x^5 = 3.
 
-Parity with the reference's f5g (starky/src/f5g.rs: irreducible x^5 - 3,
-f5g.rs:11-18) — present and complete but, exactly like the reference
-("TODO: Support F5G", fri.rs:309), not yet wired through the FRI fold.
+Counterpart of the reference's f5g (starky/src/f5g.rs: irreducible x^5 - 3,
+f5g.rs:11-18).  Unlike the reference — which declares the type but never
+wires it through the fold ("TODO: Support F5G", fri.rs:309,319-331) — this
+field IS wired through the FRI commit/fold/query/verify chain via
+`stark.fri.FRI(..., dim=5)` (tests/test_fri_f5g.py).
 Values are [..., 5] uint64 arrays; ops are batched numpy like fields/f3g.py.
 """
 from __future__ import annotations

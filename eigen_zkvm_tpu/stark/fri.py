@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import numpy as np
 
-from ..fields import f3g
+from ..fields import f3g, f5g
 from ..fields import gl64 as gl
 from ..hash.merkle_gl import MerkleTreeGL
 from ..poly import ntt
@@ -24,13 +24,30 @@ class FRIProof:
 
 
 class FRI:
-    def __init__(self, stark_struct, merkle_cls=MerkleTreeGL, engine=None):
+    def __init__(self, stark_struct, merkle_cls=MerkleTreeGL, engine=None,
+                 dim: int = 3):
+        """`dim` selects the soundness extension: 3 = GF(p^3) (the
+        reference protocol), 5 = GF(p^5) — which the reference declares
+        but never wires through the fold ("TODO: Support F5G",
+        starky/src/fri.rs:309,319-331); here both fold end-to-end."""
+        assert dim in (3, 5), f"unsupported extension dim {dim}"
+        self.dim = dim
+        self.ext = f3g if dim == 3 else f5g
         self.merkle_cls = merkle_cls
         self.engine = engine
         self.in_nbits = stark_struct.nBitsExt
         self.max_deg_nbits = stark_struct.nBits
         self.n_queries = stark_struct.nQueries
         self.steps = stark_struct.steps
+
+    def _challenge(self, transcript) -> np.ndarray:
+        """Draw one GF(p^dim) fold challenge.  dim=3 keeps the reference's
+        exact transcript semantics (transcript.rs get_field); dim=5 drains
+        five sponge elements (no reference semantics exist to match)."""
+        if self.dim == 3:
+            return transcript.get_field()
+        return np.array([transcript.get_fields1() for _ in range(self.dim)],
+                        dtype=np.uint64)
 
     def _tpu(self) -> bool:
         if self.merkle_cls is not MerkleTreeGL:
@@ -62,11 +79,14 @@ class FRI:
         root (32 B down) cross the link; query rows return via one batched
         gather per tree (`prefetch`)."""
         if device_pair is not None:
+            assert self.dim == 3, "device fold chain is GF(p^3)-only"
             return self._prove_device(transcript, device_pair, query_pol,
                                       prefetch)
         pol_bits = pol.shape[0].bit_length() - 1
         assert 1 << pol_bits == pol.shape[0]
         assert pol_bits == self.in_nbits
+        assert pol.shape[1] == self.dim, \
+            f"pol carries dim {pol.shape[1]}, FRI configured for {self.dim}"
 
         shift = np.uint64(gl.SHIFT)
         shift_inv = gl.inv(shift)
@@ -77,13 +97,13 @@ class FRI:
             reduction_bits = pol_bits - step.nBits
             pol2_n = 1 << (pol_bits - reduction_bits)
             n_x = pol.shape[0] // pol2_n
-            special_x = transcript.get_field()
+            special_x = self._challenge(transcript)
 
             if si == 0:
                 pol2_e = pol[:pol2_n].copy()
             else:
-                # groups: ppar[i, g] = pol[i*pol2_n + g]  -> [n_x, pol2_n, 3]
-                ppar = pol.reshape(n_x, pol2_n, 3)
+                # groups: ppar[i, g] = pol[i*pol2_n + g] -> [n_x, pol2_n, dim]
+                ppar = pol.reshape(n_x, pol2_n, self.dim)
                 ppar_c = ntt.intt(ppar)  # batched iNTT over group axis
                 # scale coeff j of group g by (shift_inv * w_full^-g)^j
                 wi = gl.inv(np.uint64(gl.root_of_unity(pol_bits)))
@@ -92,21 +112,23 @@ class FRI:
                 jpow = _pow_matrix(sinv_g, n_x)  # [n_x, pol2_n]
                 ppar_c = gl.mul(ppar_c, jpow[:, :, None])
                 # Horner at special_x across the group axis
-                pol2_e = _eval_pol_batched(ppar_c, special_x)
+                pol2_e = _eval_pol_batched(ppar_c, special_x, self.ext)
 
             if si < len(self.steps) - 1:
                 n_groups = 1 << self.steps[si + 1].nBits
                 group_size = (1 << step.nBits) // n_groups
-                # leaf i <- [pol2_e[j*n_groups + i] for j] flattened x3
-                etb = pol2_e.reshape(group_size, n_groups, 3).transpose(1, 0, 2)
-                etb = np.ascontiguousarray(etb.reshape(n_groups, group_size * 3))
-                tree = self._merkelize(etb, 3 * group_size, n_groups)
+                # leaf i <- [pol2_e[j*n_groups + i] for j] flattened x dim
+                etb = pol2_e.reshape(group_size, n_groups,
+                                     self.dim).transpose(1, 0, 2)
+                etb = np.ascontiguousarray(
+                    etb.reshape(n_groups, group_size * self.dim))
+                tree = self._merkelize(etb, self.dim * group_size, n_groups)
                 trees.append(tree)
                 proof.queries[si + 1]["root"] = tree.root()
                 transcript.put_root(tree.root())
             else:
                 for e in pol2_e:
-                    transcript.put_elements([int(e[0]), int(e[1]), int(e[2])])
+                    transcript.put_elements([int(v) for v in e])
 
             pol = pol2_e
             pol_bits -= reduction_bits
@@ -182,12 +204,12 @@ class FRI:
         assert len(proof.queries) == len(self.steps)
         special_x = []
         for si in range(len(self.steps)):
-            special_x.append(transcript.get_field())
+            special_x.append(self._challenge(transcript))
             if si < len(self.steps) - 1:
                 transcript.put_root(proof.queries[si + 1]["root"])
             else:
                 for e in proof.last:
-                    transcript.put_elements([int(e[0]), int(e[1]), int(e[2])])
+                    transcript.put_elements([int(v) for v in e])
 
         ys = transcript.get_permutations(self.n_queries, self.steps[0].nBits)
         pol_bits = self.in_nbits
@@ -206,20 +228,21 @@ class FRI:
                     if not self.merkle_cls.verify_group_proof(
                             proof_item["root"], mp, ys[i], vals):
                         return False
-                    pgroup_e = np.asarray(vals, dtype=np.uint64).reshape(-1, 3)
+                    pgroup_e = np.asarray(vals,
+                                          dtype=np.uint64).reshape(-1, self.dim)
 
                 pgroup_c = ntt.intt(pgroup_e)
                 sinv = gl.inv(gl.mul(shift, gl.exp(
                     np.uint64(gl.root_of_unity(pol_bits)), ys[i])))
-                x_eval = f3g.mul_base(special_x[si], sinv)
-                ev = _eval_pol_one(pgroup_c, x_eval)
+                x_eval = self.ext.mul_base(special_x[si], sinv)
+                ev = _eval_pol_one(pgroup_c, x_eval, self.ext)
 
                 if si < len(self.steps) - 1:
                     next_n_groups = 1 << self.steps[si + 1].nBits
                     group_idx = ys[i] // next_n_groups
                     nxt = np.asarray(
                         proof.queries[si + 1]["pol_queries"][i][0][0],
-                        dtype=np.uint64).reshape(-1, 3)
+                        dtype=np.uint64).reshape(-1, self.dim)
                     if not np.array_equal(ev, nxt[group_idx]):
                         return False
                 else:
@@ -251,19 +274,20 @@ def _pow_matrix(bases: np.ndarray, n: int) -> np.ndarray:
     return out
 
 
-def _eval_pol_batched(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """Horner over axis 0: coeffs [deg, G, 3], x [3] -> [G, 3]."""
+def _eval_pol_batched(coeffs: np.ndarray, x: np.ndarray,
+                      ext=f3g) -> np.ndarray:
+    """Horner over axis 0: coeffs [deg, G, dim], x [dim] -> [G, dim]."""
     deg = coeffs.shape[0]
     res = coeffs[deg - 1]
     xb = np.broadcast_to(x[None, :], res.shape)
     for j in range(deg - 2, -1, -1):
-        res = f3g.add(f3g.mul(res, xb), coeffs[j])
+        res = ext.add(ext.mul(res, xb), coeffs[j])
     return res
 
 
-def _eval_pol_one(coeffs: np.ndarray, x: np.ndarray) -> np.ndarray:
-    """Horner: coeffs [deg, 3], x [3] -> [3]."""
+def _eval_pol_one(coeffs: np.ndarray, x: np.ndarray, ext=f3g) -> np.ndarray:
+    """Horner: coeffs [deg, dim], x [dim] -> [dim]."""
     res = coeffs[-1]
     for j in range(coeffs.shape[0] - 2, -1, -1):
-        res = f3g.add(f3g.mul(res, x), coeffs[j])
+        res = ext.add(ext.mul(res, x), coeffs[j])
     return res
