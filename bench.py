@@ -300,15 +300,61 @@ def start_scaling():
     return proc, fout.name, ferr.name
 
 
+_EMITTED = False
+_STATE = {"value": None, "extra": {}}
+
+
+def _emit():
+    """Print the one JSON line exactly once (main path OR watchdog)."""
+    global _EMITTED
+    if _EMITTED:
+        return
+    _EMITTED = True
+    fib = _STATE["value"]
+    print(json.dumps({
+        "metric": "fib_gl_2e10_estark_prove",
+        "value": round(fib, 4) if fib else None,
+        "unit": "s",
+        "vs_baseline": round(BASELINE_S / fib, 4) if fib else None,
+        "extra": _STATE["extra"],
+    }), flush=True)
+
+
+def _arm_watchdog(deadline: float):
+    """The round-3 bench ran past the driver's timeout and recorded
+    NOTHING (BENCH_r03 rc=124, no JSON line).  A daemon thread now
+    guarantees the line is printed with whatever has been measured so
+    far, then hard-exits — a wedged device call cannot eat the round's
+    evidence again."""
+    import threading
+
+    def guard():
+        while time.monotonic() < deadline:
+            time.sleep(2.0)
+        _STATE["extra"]["bench_watchdog_fired"] = True
+        _emit()
+        os._exit(0)
+
+    threading.Thread(target=guard, daemon=True).start()
+
+
 def main():
     t_start = time.monotonic()
-    budget = float(os.environ.get("EIGEN_BENCH_BUDGET_S", "2400"))
+    budget = float(os.environ.get("EIGEN_BENCH_BUDGET_S", "1500"))
     deadline = t_start + budget
+    _arm_watchdog(deadline)
+    extra = _STATE["extra"]
+    stage_s = extra.setdefault("bench_stage_s", {})
+
+    def stamp(name, t0):
+        stage_s[name] = round(time.monotonic() - t0, 1)
+        return time.monotonic()
 
     # ---- primary metric first, with nothing else running on the box
-    fib = bench_fib()
+    t0 = time.monotonic()
+    _STATE["value"] = bench_fib()
+    t0 = stamp("fib", t0)
 
-    extra = {}
     try:
         from eigen_zkvm_tpu.stark.engine import _device_present
 
@@ -317,24 +363,34 @@ def main():
             from eigen_zkvm_tpu.stark.engine import Engine
 
             extra["tpu_engine"] = repr(Engine(21))
-            t = bench_tpu_prove(nbits=20, deadline=deadline)
+            t = bench_tpu_prove(nbits=20, reps=1, deadline=deadline)
             extra["chain_gl_2e20x8_tpu_prove_s"] = round(t, 2)
-            if time.monotonic() < deadline:
+            t0 = stamp("tpu_2e20", t0)
+            if time.monotonic() < deadline - 180:
                 extra.update(bench_unit_rates())
-            if time.monotonic() < deadline - 120:
-                # the north-star-scale prove: one warm rep
-                t23 = bench_tpu_prove(nbits=23, reps=1, deadline=deadline)
+                t0 = stamp("unit_rates", t0)
+            # the north-star-scale prove needs ~10x the 2^20 wall time
+            # warm (and much more on a cold compile cache): attempt it
+            # only when the remaining budget can plausibly cover it
+            if time.monotonic() < deadline - max(240.0, 12 * t):
+                t23 = bench_tpu_prove(nbits=23, reps=0, deadline=deadline)
                 extra["chain_gl_2e23x8_tpu_prove_s"] = round(t23, 2)
+                t0 = stamp("tpu_2e23", t0)
     except Exception as e:  # record, never break the primary metric
         extra["tpu_error"] = f"{type(e).__name__}: {e}"
         device = False
     try:
-        extra.update(bench_msm_rates(device))
+        if time.monotonic() < deadline - 120:
+            extra.update(bench_msm_rates(device))
+            t0 = stamp("msm", t0)
     except Exception as e:
         extra["msm_error"] = f"{type(e).__name__}: {e}"
     # the SPMD scaling measurement runs LAST and alone: this box has ONE
     # host core, so "concurrent" subprocesses corrupt every host-side
-    # timing (round-2 verdict weak #1, generalized)
+    # timing (round-2 verdict weak #1, generalized).  If the remaining
+    # budget cannot cover a fresh run, embed the committed artifact
+    # (scripts/bench_scaling.py output — XLA cost analysis, deterministic
+    # per program) clearly labeled as precomputed.
     scaling = None
     try:
         scaling = start_scaling()
@@ -343,7 +399,9 @@ def main():
     if scaling is not None:
         proc, out_path, err_path = scaling
         try:
-            left = max(900.0, deadline - time.monotonic())
+            left = deadline - time.monotonic() - 30.0
+            if left < 30.0:
+                raise TimeoutError("no budget left for a fresh scaling run")
             proc.wait(timeout=left)
             with open(out_path) as f:
                 lines = [ln for ln in f.read().strip().splitlines() if ln]
@@ -351,6 +409,15 @@ def main():
         except Exception as e:
             proc.kill()
             extra["scaling_error"] = f"{type(e).__name__}: {e}"
+            try:
+                here = os.path.dirname(os.path.abspath(__file__))
+                with open(os.path.join(here, "BENCH_SCALING.json")) as f:
+                    extra["multichip_scaling"] = json.load(f)
+                extra["multichip_scaling"]["source"] = (
+                    "precomputed committed artifact (BENCH_SCALING.json; "
+                    "XLA cost analysis, deterministic per program)")
+            except Exception:
+                pass
         finally:
             for p in (out_path, err_path):
                 try:
@@ -358,13 +425,7 @@ def main():
                 except OSError:
                     pass
 
-    print(json.dumps({
-        "metric": "fib_gl_2e10_estark_prove",
-        "value": round(fib, 4),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_S / fib, 4),
-        "extra": extra,
-    }))
+    _emit()
 
 
 if __name__ == "__main__":

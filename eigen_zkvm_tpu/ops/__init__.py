@@ -37,6 +37,10 @@ def _host_fingerprint() -> str:
     tag += "|" + _os.environ.get("JAX_PLATFORMS", "")
     tag += "|" + _os.environ.get("PALLAS_AXON_REMOTE_COMPILE", "")
     tag += "|reg" + ("1" if _os.environ.get("_AXON_REGISTERED") else "0")
+    # the REAL registration trigger (sitecustomize registers the plugin —
+    # remote_compile included — iff this is set; _AXON_REGISTERED is not
+    # set by the current sitecustomize, so key on the trigger itself)
+    tag += "|pool" + ("1" if _os.environ.get("PALLAS_AXON_POOL_IPS") else "0")
     try:
         import jax as _j
 

@@ -57,7 +57,14 @@ _PALLAS_MIN_NBITS = 10
 
 def _use_pallas(nbits: int) -> bool:
     """Route big transforms through the fused Pallas kernel on TPU.
-    EIGEN_ZKVM_NTT=ladder forces the XLA stage ladder (A/B debugging)."""
+    EIGEN_ZKVM_NTT=ladder forces the XLA stage ladder (A/B debugging).
+
+    `jax.default_backend()` alone is NOT sufficient: with a TPU plugin
+    attached, a CPU-device mesh (tests, the driver's virtual-device
+    dryrun) still reports "tpu" as the default backend, and a Pallas
+    kernel lowered for those CPU devices either errors or falls into
+    glacial interpret mode (the round-3 MULTICHIP/BENCH timeout).  So
+    when a mesh is active, dispatch on the MESH's device platform."""
     import os
 
     mode = os.environ.get("EIGEN_ZKVM_NTT", "auto")
@@ -65,7 +72,14 @@ def _use_pallas(nbits: int) -> bool:
         return False
     if mode == "pallas":
         return True
-    return nbits >= _PALLAS_MIN_NBITS and jax.default_backend() == "tpu"
+    if nbits < _PALLAS_MIN_NBITS:
+        return False
+    from ..parallel import meshctx
+
+    ma = meshctx.active()
+    if ma is not None:
+        return ma[0].devices.flat[0].platform == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def ntt(values: g.GL, nbits: int) -> g.GL:

@@ -99,7 +99,14 @@ def _use_mxu(B: int) -> bool:
     mode = os.environ.get("EIGEN_ZKVM_POSEIDON", "auto")
     if mode != "mxu":
         return False
-    return B >= 2048 and jax.default_backend() == "tpu"
+    if B < 2048:
+        return False
+    from ..parallel import meshctx
+
+    ma = meshctx.active()  # CPU-device mesh under a TPU plugin: no Pallas
+    if ma is not None:
+        return ma[0].devices.flat[0].platform == "tpu"
+    return jax.default_backend() == "tpu"
 
 
 def permute(state):

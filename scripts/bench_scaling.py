@@ -183,8 +183,13 @@ def measure_full_prove(nbits: int = 12, width: int = 8,
 if __name__ == "__main__":
     res = measure()
     try:
+        # full prove per mesh size: 2^10 by default — the byte-identity
+        # and per-stage collective accounting are domain-independent, and
+        # 4 single-core proves of the 8-way SPMD program at 2^12 cost
+        # ~25 wall minutes (the dominant stage is separately
+        # cost-analyzed at 2^cost_nbits, compile-only, below)
         res["full_prove"] = measure_full_prove(
-            int(os.environ.get("EIGEN_SCALING_FULL_NBITS", "12")),
+            int(os.environ.get("EIGEN_SCALING_FULL_NBITS", "10")),
             cost_nbits=int(os.environ.get(
                 "EIGEN_SCALING_COST_NBITS", "16")))
     except Exception as e:  # record, never break the commit-step metrics
