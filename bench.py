@@ -366,16 +366,25 @@ def main():
             t = bench_tpu_prove(nbits=20, reps=1, deadline=deadline)
             extra["chain_gl_2e20x8_tpu_prove_s"] = round(t, 2)
             t0 = stamp("tpu_2e20", t0)
-            if time.monotonic() < deadline - 180:
-                extra.update(bench_unit_rates())
-                t0 = stamp("unit_rates", t0)
-            # the north-star-scale prove needs ~10x the 2^20 wall time
-            # warm (and much more on a cold compile cache): attempt it
-            # only when the remaining budget can plausibly cover it
-            if time.monotonic() < deadline - max(240.0, 12 * t):
+            # the north-star-scale prove comes BEFORE the unit rates:
+            # it is the BASELINE.md headline and measured ~546 s warm
+            # (BENCH_2E23.json) — attempt it while the budget can still
+            # cover a warm run + margin, else embed the committed number
+            if time.monotonic() < deadline - 700:
                 t23 = bench_tpu_prove(nbits=23, reps=0, deadline=deadline)
                 extra["chain_gl_2e23x8_tpu_prove_s"] = round(t23, 2)
                 t0 = stamp("tpu_2e23", t0)
+            else:
+                try:
+                    here = os.path.dirname(os.path.abspath(__file__))
+                    with open(os.path.join(here, "BENCH_2E23.json")) as f:
+                        extra["chain_gl_2e23x8_tpu_prove_precomputed"] = \
+                            json.load(f)
+                except Exception:
+                    pass
+            if time.monotonic() < deadline - 180:
+                extra.update(bench_unit_rates())
+                t0 = stamp("unit_rates", t0)
     except Exception as e:  # record, never break the primary metric
         extra["tpu_error"] = f"{type(e).__name__}: {e}"
         device = False

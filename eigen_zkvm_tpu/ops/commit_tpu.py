@@ -55,6 +55,58 @@ def _flatten_eager(levels, stack):
     return _flatten_levels(levels, stack)
 
 
+@partial(jax.jit, donate_argnums=(0, 1))
+def _flat_write(flo, fhi, lvl_lo, lvl_hi, off):
+    """Write one level into the preallocated flat node buffer IN PLACE
+    (donated): the concat-based flatten doubles the ~1 GB node storage
+    transiently, which the >= 2^23 prove cannot afford."""
+    return (jax.lax.dynamic_update_slice(flo, lvl_lo, (off, 0)),
+            jax.lax.dynamic_update_slice(fhi, lvl_hi, (off, 0)))
+
+
+def _eager_flat_tree(lde, n_pols: int, height: int):
+    """Level-at-a-time tree build for the big single-device path: each
+    level is its own program, the previous level's buffer is freed as
+    soon as it is written into the flat store, and the flat store is
+    updated by donation — peak extra memory is one level + one block
+    temp instead of (all levels + a full flat copy)."""
+    sizes, offsets = _level_meta(height)
+    tail = pj.MERKLE_TAIL
+    # unrolled-level count mirrors _level_meta's first while loop
+    n_unrolled = 1
+    n = height
+    while n > 1 and (n > tail or (n & (n - 1))):
+        n = (n - 1) // 2 + 1
+        n_unrolled += 1
+    total = offsets[n_unrolled - 1] + sizes[n_unrolled - 1]
+    if n > 1:  # tail scan appends t levels stored at stride T
+        total += (n.bit_length() - 1) * n
+    flo = jnp.zeros((total, 4), jnp.uint32)
+    fhi = jnp.zeros((total, 4), jnp.uint32)
+    lvl = pj._hash_leaves_jit(lde, n_pols)
+    flo, fhi = _flat_write(flo, fhi, lvl[0], lvl[1], 0)
+    n = height
+    k = 0
+    while n > 1 and (n > tail or (n & (n - 1))):
+        if n % 2 == 1:
+            lvl = (jnp.concatenate(
+                [lvl[0], jnp.zeros((1, 4), jnp.uint32)], axis=0),
+                jnp.concatenate(
+                [lvl[1], jnp.zeros((1, 4), jnp.uint32)], axis=0))
+        lvl = pj._level_step_jit(lvl)
+        k += 1
+        flo, fhi = _flat_write(flo, fhi, lvl[0], lvl[1], offsets[k])
+        n = (n - 1) // 2 + 1
+    if n > 1:
+        stack = pj._tail_stack_jit(lvl)
+        T = n
+        t = T.bit_length() - 1
+        base = offsets[k] + sizes[k]
+        flo, fhi = _flat_write(flo, fhi, stack[0].reshape(t * T, 4),
+                               stack[1].reshape(t * T, 4), base)
+    return flo, fhi
+
+
 def _level_meta(height: int):
     """(true sizes, storage offsets) per level, mirroring
     poseidon_jax.merkle_levels' unrolled/scan-tail structure."""
@@ -95,6 +147,17 @@ def _lde_and_levels(lo, hi, nbits: int, nbits_ext: int, n_pols: int,
 def _lde_only(lo, hi, nbits: int, nbits_ext: int, ma=None):
     pair = meshctx.cols((lo, hi), ma)
     return meshctx.rows(ntt_jax.interpolate(pair, nbits, nbits_ext), ma)
+
+
+def _lde_eager(lo, hi, nbits: int, nbits_ext: int):
+    """The big-domain LDE as a chain of per-stage programs (see
+    ntt_pallas.interpolate_eager): the fused single-program interpolate
+    holds ~12 full-array copies of HLO temp at 2^24 rows."""
+    from . import ntt_pallas
+
+    lo = jnp.asarray(lo)
+    hi = jnp.asarray(hi)
+    return ntt_pallas.interpolate_eager((lo, hi), nbits, nbits_ext)
 
 
 @partial(jax.jit, static_argnames=("width", "height", "ma"))
@@ -222,10 +285,11 @@ def tpu_extend_and_merkelize(buf: np.ndarray, nbits: int,
         # split programs: the fused interpolate+all-levels graph at
         # >= 2^23 (13+ unrolled hash levels) crashes the remote XLA
         # compile helper — the LDE runs as one program and every Merkle
-        # level as its own (device arrays flow between them)
-        lde = _lde_only(lo, hi, nbits, nbits_ext, ma=None)
-        levels, stack = pj.merkle_levels_eager(lde, n_pols, 1 << nbits_ext)
-        flat = _flatten_eager(levels, stack)
+        # level as its own, written into a donated flat node buffer
+        # (the concat flatten transiently doubles ~1 GB of node storage
+        # the 2^23 prove doesn't have)
+        lde = _lde_eager(lo, hi, nbits, nbits_ext)
+        flat = _eager_flat_tree(lde, n_pols, 1 << nbits_ext)
     else:
         lde, flat = _lde_and_levels(lo, hi, nbits, nbits_ext, n_pols,
                                     ma=meshctx.active())
@@ -256,8 +320,13 @@ def tpu_merkelize(buf: np.ndarray | None, cache: dict | None = None,
         pair = (jnp.asarray(lo), jnp.asarray(hi))
     if cache is not None and cache_key:
         cache[cache_key] = pair
-    flat = _levels_only(pair[0], pair[1], width, height,
-                        ma=meshctx.active())
+    if height >= 1 << 23 and meshctx.active() is None:
+        # big single-device trees build level-at-a-time into a donated
+        # flat buffer (the fused all-levels program OOMs HBM at 2^24)
+        flat = _eager_flat_tree(pair, width, height)
+    else:
+        flat = _levels_only(pair[0], pair[1], width, height,
+                            ma=meshctx.active())
     tree = DeviceMerkleTreeGL(flat, *_level_meta(height))
     if buf is not None:
         tree.elements = buf
@@ -305,9 +374,51 @@ def _q_split(qlo, qhi, q_dim: int, q_deg: int, nbits: int, nbits_ext: int,
     return meshctx.rows(ntt_jax.ntt(qq2, nbits_ext), ma)
 
 
+@partial(jax.jit, static_argnames=("next_",))
+def _q_block_jit(lo, hi, slo, shi, next_: int):
+    """One degree-N monomial block: coset-unscale by the scalar power and
+    zero-pad to the extended domain."""
+    blk = g.mul((lo, hi), (slo, shi))
+    pad = [(0, next_ - lo.shape[0]), (0, 0)]
+    return jnp.pad(blk[0], pad), jnp.pad(blk[1], pad)
+
+
+def _q_split_eager(q_pair, q_dim: int, q_deg: int, nbits: int,
+                   nbits_ext: int):
+    """_q_split with per-stage program dispatch: the fused form's NTT
+    glue holds ~12 full-array copies of HLO temp at 2^24 rows (width-
+    independent), which the big single-device prove cannot fit."""
+    import numpy as _np
+
+    from ..fields import gl64 as _gl
+    from . import ntt_pallas
+
+    N = 1 << nbits
+    next_ = 1 << nbits_ext
+    qq1 = ntt_pallas.intt_eager(q_pair, nbits_ext)
+    shift_inv_n = _gl.exp(_gl.inv(_np.uint64(_gl.SHIFT)), N)
+    blocks_lo, blocks_hi = [], []
+    cur_s = _np.uint64(1)
+    for p in range(q_deg):
+        s = g.scalar(int(cur_s))
+        bl, bh = _q_block_jit(qq1[0][p * N : (p + 1) * N],
+                              qq1[1][p * N : (p + 1) * N], s[0], s[1],
+                              next_)
+        blocks_lo.append(bl)
+        blocks_hi.append(bh)
+        cur_s = _gl.mul(cur_s, shift_inv_n)
+    del qq1
+    qq2 = (jnp.concatenate(blocks_lo, axis=1),
+           jnp.concatenate(blocks_hi, axis=1))
+    del blocks_lo, blocks_hi
+    return ntt_pallas.ntt_eager(qq2, nbits_ext)
+
+
 def tpu_q_split(q_pair, q_dim: int, q_deg: int, nbits: int, nbits_ext: int):
     """Device Q-split over the cached q_2ns limb pair; returns the cm4_2ns
     pair (still on device) — deposit it in the cache and merkelize from it."""
+    if nbits_ext >= 23 and meshctx.active() is None:
+        return _q_split_eager(q_pair, q_dim, q_deg, nbits, nbits_ext)
     return _q_split(q_pair[0], q_pair[1], q_dim, q_deg, nbits, nbits_ext,
                     ma=meshctx.active())
 

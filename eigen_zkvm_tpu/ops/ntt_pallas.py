@@ -318,6 +318,103 @@ def intt(pair, nbits: int, interpret: bool = False):
     return g.mul(q, (n_inv[0], n_inv[1]))
 
 
+# ---------------------------------------------------------------------------
+# Eager (multi-program) four-step: bit-identical to ntt()/interpolate()
+# below, but each stage — leaf kernel, twiddle multiply, transpose —
+# dispatches as its OWN XLA program.  The fused single-program form holds
+# every intermediate of the whole recursion alive at once (measured
+# 12.9 GB of HLO temp for a 2^23 -> 2^24 interpolate; the 15.75 GB chip
+# cannot run it next to anything), while the eager chain peaks at one
+# stage's ~3 array copies.  Used by the >= 2^23 single-device commit.
+# ---------------------------------------------------------------------------
+@partial(jax.jit, static_argnames=("nbits", "root"))
+def _ntt_leaf_jit(lo, hi, nbits: int, root: int):
+    return ntt_axis0((lo, hi), nbits, root=root)
+
+
+@partial(jax.jit, static_argnames=("nbits", "a", "root"))
+def _twiddle_mul_jit(lo, hi, nbits: int, a: int, root: int):
+    tw = _four_step_twiddle(nbits, a, root)
+    return g.mul((lo, hi), (tw[0][:, :, None], tw[1][:, :, None]))
+
+
+@jax.jit
+def _transpose_jit(lo, hi):
+    N1, N2, P = lo.shape
+    return (lo.transpose(1, 0, 2).reshape(N2, N1 * P),
+            hi.transpose(1, 0, 2).reshape(N2, N1 * P))
+
+
+def ntt_eager(pair, nbits: int, root: int | None = None):
+    """ntt() with per-stage program dispatch (device arrays in/out)."""
+    lo, hi = pair
+    tail = lo.shape[1:]
+    P = int(np.prod(tail)) if tail else 1
+    n = 1 << nbits
+    if root is None:
+        root = int(gl.root_of_unity(nbits))
+    if nbits <= KMAX:
+        r = _ntt_leaf_jit(lo.reshape(n, P), hi.reshape(n, P), nbits, root)
+        return r[0].reshape((n,) + tail), r[1].reshape((n,) + tail)
+    a = _split_for(nbits)
+    b = nbits - a
+    N1, N2 = 1 << a, 1 << b
+    root_a = int(gl.exp(np.uint64(root), N2))
+    root_b = int(gl.exp(np.uint64(root), N1))
+    x = (lo.reshape(N1, N2 * P), hi.reshape(N1, N2 * P))
+    del lo, hi, pair
+    A = ntt_eager(x, a, root=root_a)
+    del x
+    # free each stage as soon as its consumer is enqueued: the recursion
+    # frame otherwise pins ~5 full-array copies at once, which at 2^24
+    # rows is the difference between fitting and RESOURCE_EXHAUSTED
+    B = _twiddle_mul_jit(A[0].reshape(N1, N2, P), A[1].reshape(N1, N2, P),
+                         nbits, a, root)
+    del A
+    C = _transpose_jit(B[0], B[1])
+    del B
+    D = ntt_eager(C, b, root=root_b)
+    del C
+    return (D[0].reshape((n,) + tail), D[1].reshape((n,) + tail))
+
+
+@partial(jax.jit, static_argnames=("nbits", "nbits_ext"))
+def _coset_scale_pad_jit(lo, hi, nbits: int, nbits_ext: int):
+    from . import ntt_jax
+
+    n, n_ext = 1 << nbits, 1 << nbits_ext
+    spow = ntt_jax._geo_device(int(gl.SHIFT), nbits)
+    n_inv = g.from_u64(np.uint64(gl.inv(np.uint64(n))))
+    scale = g.mul(spow, (n_inv[0], n_inv[1]))
+    tail = (1,) * (lo.ndim - 1)
+    scale = (scale[0].reshape((n,) + tail), scale[1].reshape((n,) + tail))
+    s = g.mul((lo, hi), scale)
+    padc = [(0, n_ext - n)] + [(0, 0)] * (lo.ndim - 1)
+    return jnp.pad(s[0], padc), jnp.pad(s[1], padc)
+
+
+@partial(jax.jit, static_argnames=("nbits",))
+def _invscale_jit(lo, hi, nbits: int):
+    n_inv = g.from_u64(np.uint64(gl.inv(np.uint64(1 << nbits))))
+    return g.mul((lo, hi), (n_inv[0], n_inv[1]))
+
+
+def intt_eager(pair, nbits: int):
+    root_inv = int(gl.inv(np.uint64(gl.root_of_unity(nbits))))
+    q = ntt_eager(pair, nbits, root=root_inv)
+    return _invscale_jit(q[0], q[1], nbits)
+
+
+def interpolate_eager(pair, nbits: int, nbits_ext: int):
+    """interpolate() semantics, one program per four-step stage."""
+    root_inv = int(gl.inv(np.uint64(gl.root_of_unity(nbits))))
+    coeffs = ntt_eager(pair, nbits, root=root_inv)
+    del pair
+    padded = _coset_scale_pad_jit(coeffs[0], coeffs[1], nbits, nbits_ext)
+    del coeffs
+    return ntt_eager(padded, nbits_ext)
+
+
 def interpolate(pair, nbits: int, nbits_ext: int, interpret: bool = False):
     """Coset LDE [N, P] -> [N_ext, P] (fft_p.rs interpolate): iNTT, scale
     coefficients by SHIFT^j (the 1/n fold rides the same multiply), zero-

@@ -275,21 +275,65 @@ def merkle_levels(elements, width: int, height: int, ma=None):
     return levels, stack
 
 
+# Upper bound on rows entering one un-blocked permutation: the MDS layer
+# materializes a [B, 12, 12] u32-pair temp (1.1 GB at 2^20 rows), and the
+# compiler's rematerialization doubles it — an un-blocked 2^23-leaf level
+# asks for 18 GB of HBM and kills the north-star prove.  Bigger batches
+# run as a lax.map over fixed-size blocks: same butterflies, bounded HBM.
+# 2^18 keeps the transient under ~0.6 GB — the 2^23 prove runs within
+# ~1.5 GB of the 15.75 GB budget, so every transient counts.
+POSEIDON_BLOCK = 1 << 18
+
+
+def _blocked_rows(fn, rows, block: int):
+    """Apply fn ([B, w] pair -> [B, 4] pair) in lax.map blocks when B is
+    a large multiple of `block`; plain call otherwise."""
+    B = rows[0].shape[0]
+    if B <= block or B % block:
+        return fn(rows)
+    K = B // block
+    blk = (rows[0].reshape(K, block, rows[0].shape[1]),
+           rows[1].reshape(K, block, rows[1].shape[1]))
+    out = jax.lax.map(lambda p: fn(p), blk)
+    return (out[0].reshape(B, 4), out[1].reshape(B, 4))
+
+
 @partial(jax.jit, static_argnames=("width",))
 def _hash_leaves_jit(elements, width: int):
-    return hash_leaves(elements, width)
+    return _blocked_rows(lambda r: hash_leaves(r, width), elements,
+                         POSEIDON_BLOCK)
 
 
 @jax.jit
+def _level_block_jit(plo, phi):
+    """Hash one block of a binary level: [b,4] pair -> [b/2,4] pair."""
+    b = plo.shape[0]
+    pr = (plo.reshape(b // 2, 8), phi.reshape(b // 2, 8))
+    st = (jnp.zeros((b // 2, 4), jnp.uint32),
+          jnp.zeros((b // 2, 4), jnp.uint32))
+    return hash_n(pr, st)
+
+
 def _level_step_jit(lvl):
     """One binary Merkle level (even size): [n,4] pair -> [n/2,4] pair.
     Sibling pairing is a RESHAPE (adjacent rows), not a strided gather —
-    same values, and the strided form fails to compile at 2^24 rows."""
+    same values, and the strided form fails to compile at 2^24 rows.
+
+    Levels past 2*POSEIDON_BLOCK run as PYTHON-LEVEL block dispatches
+    (contiguous row slices, each its own program): a whole-array
+    [n,4] -> [n/2,8] reshape forces a full relayout the hash keeps live
+    (measured 13.2 GB of HLO temp at 2^24 nodes), and the lax.map
+    nested-scan form fails to compile outright at that size.  The eager
+    tree path is per-level dispatch already, so 32 more dispatches per
+    big level cost noise."""
     n = lvl[0].shape[0]
-    pairs = (lvl[0].reshape(n // 2, 8), lvl[1].reshape(n // 2, 8))
-    B = pairs[0].shape[0]
-    st = (jnp.zeros((B, 4), jnp.uint32), jnp.zeros((B, 4), jnp.uint32))
-    return hash_n(pairs, st)
+    blk = 2 * POSEIDON_BLOCK
+    if n <= blk or n % blk:
+        return _level_block_jit(lvl[0], lvl[1])
+    outs = [_level_block_jit(lvl[0][k : k + blk], lvl[1][k : k + blk])
+            for k in range(0, n, blk)]
+    return (jnp.concatenate([o[0] for o in outs], axis=0),
+            jnp.concatenate([o[1] for o in outs], axis=0))
 
 
 @jax.jit

@@ -25,6 +25,20 @@ def enabled() -> bool:
     return bool(os.environ.get("EIGEN_ZKVM_PROFILE"))
 
 
+def _device_mem() -> str:
+    """' hbm=used/peak GB' for the default device (EIGEN_ZKVM_MEMLOG=1);
+    empty when the backend has no memory_stats."""
+    try:
+        import jax
+
+        st = jax.local_devices()[0].memory_stats() or {}
+        used = st.get("bytes_in_use", 0)
+        peak = st.get("peak_bytes_in_use", 0)
+        return f" hbm={used / 1e9:.2f}/{peak / 1e9:.2f}GB"
+    except Exception:
+        return ""
+
+
 def sync_enabled() -> bool:
     """EIGEN_ZKVM_SYNC=1: drain async device work at every stage tick so
     per-stage walls attribute device time to the stage that enqueued it
@@ -53,9 +67,10 @@ class Prof:
         if self.sync is not None:
             self.sync()
         now = time.perf_counter()
+        mem = _device_mem() if os.environ.get("EIGEN_ZKVM_MEMLOG") else ""
         if self.pr:
-            print(f"[profile] {self.name}: {stage}: {now - self.last:.3f}s",
-                  flush=True)
+            print(f"[profile] {self.name}: {stage}: "
+                  f"{now - self.last:.3f}s{mem}", flush=True)
         structlog.log_event(f"{self.name}.stage", stage=stage,
                             wall=round(now - self.last, 4))
         self.last = now

@@ -865,9 +865,14 @@ class Rv32Machine:
         if len(rows) > N:
             raise ValueError("execution (with micro-rows) exceeds the chunk")
         halted = states[-1].halted
-        if not halted and len(rows) < N:
-            # freeze from the boundary row on: its instruction executes in
-            # the NEXT chunk, so the skip run must start right at it
+        if not halted:
+            # freeze the boundary row: its instruction executes in the
+            # NEXT chunk, so the skip run must start right at it.  This
+            # holds for EXACT-FIT chunks too (executed rows + boundary
+            # == N): leaving the boundary row active feeds a memory-op
+            # with no successor state into the sorted-mem argument and
+            # the Z grand product no longer closes (hit by any guest
+            # whose rows are all single-cycle, e.g. guest_secp256k1).
             st, phase, nxt, _ = rows[-1]
             rows[-1] = (st, phase, nxt, True)
         while len(rows) < N:

@@ -122,10 +122,10 @@ def test_ecrecover_chunk_proves_with_continuations():
     e, v, r, s = _vector(b"round-4 ecrecover vector")
     src = g.build_guest_source(e, v, r, s)
     program, entry, image0, ram_words, mem_base = load_c_elf(c_to_elf(src))
-    NB = 13  # the unrolled-field guest ROM needs 2^13 rows
+    NB = 15  # image coprocessor needs 2*(2048/8)*39 = 19968 rows
     nc = rn.NativeChunker(program, entry, n_bits=NB, ram_words=ram_words,
                           image0=image0, mem_base=mem_base)
-    assert len(nc.chunks) > 1000  # ~15M cycles of real work
+    assert len(nc.chunks) > 400  # ~15M cycles of real work
     machine = Rv32Machine(program, NB, ram_words=ram_words,
                           mem_base=mem_base)
     ss = default_struct(NB, 2)
