@@ -63,6 +63,10 @@ extern "C" int rv32_run(
     int64_t idx = ((int64_t)pc - (int64_t)text_base) >> 2;
     if (idx < 0 || idx >= n_instr || (pc & 3u)) { rc = RV_ERR_PC; break; }
     uint8_t o = op[idx];
+    // gap slots (rv32_native.pack_program fills unmapped pcs with 255):
+    // a jump into an inter-instruction gap is an undecodable pc, exactly
+    // like one outside [text_base, end) — the Python authority raises
+    if (o > OP_FENCE) { rc = RV_ERR_PC; break; }
     int64_t cost = (o == OP_SB || o == OP_SH) ? 2 : 1;
     if (o == OP_ECALL) { rc = RV_HALTED; break; }
     if (rows + cost > max_rows) { rc = RV_ROWS; break; }

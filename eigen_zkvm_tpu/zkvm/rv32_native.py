@@ -276,6 +276,10 @@ class NativeChunker:
                 raise RuntimeError("execution exceeded max_cycles")
         self.final = RvState(int(ctx.pc[0]),
                              [int(x) for x in ctx.regs], ctx.halted)
+        # post-halt RAM image: the final chunk's mem_out publics digest
+        # exactly this (the last chunk spins at the ecall, so no writes
+        # follow) — consumers bind guest outputs through it
+        self.final_image = ctx.mem.astype(np.uint64)
         self.total_cycles = total
 
     def states_for(self, k: int) -> tuple[list[RvState], np.ndarray]:
@@ -290,7 +294,11 @@ class NativeChunker:
                                           capture=True,
                                           max_cycles=info.n_cycles + 1)
         assert cycles == info.n_cycles, "non-deterministic replay"
+        # halted comes from the authoritative capture run: when the final
+        # ecall lands exactly on the row budget, the replay's cycle cap
+        # (cap_n = min(n_cycles+1, budget) = n_cycles) makes it exit with
+        # RV_CYCLES before re-fetching the ecall, so rc alone under-reports
         states = materialize_states(info.regs_in, info.pc_in, trace,
                                     cycles, int(ctx.pc[0]),
-                                    rc == RV_HALTED)
+                                    info.halted)
         return states, info.image_in

@@ -1,12 +1,15 @@
-"""Prove the FULL in-guest secp256k1 ecrecover execution on TPU.
+"""Prove the in-guest secp256k1 ecrecover execution at scale.
 
 The reference's flagship zkVM workload recovers transaction signers
 inside the guest (zkvm/program/evm/src/lib.rs — revm + k256).  This
-script proves our native equivalent END TO END: the 15.6M-cycle recovery
-guest (zkvm/guest_secp256k1.py), executed by the native C++ executor,
-chunked into 2^20-row continuation chunks with RAM-image digests, every
-chunk proven on the device engine and verified, and the digest chain
-checked across all boundaries.
+script proves our native equivalent: the 15.6M-cycle recovery guest
+(zkvm/guest_secp256k1.py), executed by the native C++ executor, chunked
+into row-budgeted continuation chunks with RAM-image digests, selected
+chunks proven + verified on whichever engine stark/engine.py resolves
+(recorded in the artifact's "engine" field), boundary digests checked
+against the native image chain, and — when the final chunk is proven —
+the recovered address extracted from the proven post-halt image and
+compared to the oracle.
 
 Writes BENCH_ECDSA.json:
   {"cycles": ..., "n_chunks": ..., "chunk_rows": ..., "trace_s": ...,
@@ -83,6 +86,9 @@ def main():
         sel = list(range(min(args.max_chunks, len(nc.chunks))))
     else:
         sel = list(range(len(nc.chunks)))
+    from eigen_zkvm_tpu.stark.engine import Engine
+    engine_repr = repr(Engine(ss.nBitsExt))
+    print(f"engine: {engine_repr}", flush=True)
     pubs_list = []
     trace_s = prove_s = 0.0
     # the natively-computed image at every chunk boundary: each PROVEN
@@ -90,7 +96,6 @@ def main():
     # the native execution at their boundaries even when a subset is
     # proven (the suite's slow test proves chunk 0; this artifact adds
     # the selected chunks at scale)
-    d_final = ram_digest(nc.chunks[-1].image_in)
     for nth, kk in enumerate(sel):
         t0 = time.time()
         states, image_in = nc.states_for(kk)
@@ -107,13 +112,15 @@ def main():
                             setup.program), f"chunk {kk} failed verify"
         pubs = {n: int(proof.publics[i, 0]) for i, n in enumerate(names)}
         d_in = ram_digest(image_in)
+        # out-digest: the next chunk's entry image, or — for the final
+        # chunk — the post-halt image the chunker snapshotted
         d_out = (ram_digest(nc.chunks[kk + 1].image_in)
-                 if kk + 1 < len(nc.chunks) else None)
+                 if kk + 1 < len(nc.chunks)
+                 else ram_digest(nc.final_image))
         for j in range(4):
             assert pubs[f"mem_in{j}"] == d_in[j], f"chunk {kk} in-digest"
-            if d_out is not None:
-                assert pubs[f"mem_out{j}"] == d_out[j], \
-                    f"chunk {kk} out-digest does not chain"
+            assert pubs[f"mem_out{j}"] == d_out[j], \
+                f"chunk {kk} out-digest does not chain"
         pubs_list.append(pubs)
         trace_s += t1 - t0
         prove_s += t2 - t1
@@ -122,11 +129,20 @@ def main():
     if sel == list(range(len(nc.chunks))):
         assert check_chain_publics(pubs_list), "digest chain broken"
 
-    # the recovered address is bound into the final RAM image digest
+    # The recovered address is bound into the proven chain whenever the
+    # FINAL chunk is among the proven set: its mem_out publics are the
+    # digest of the post-halt image (asserted above), and out_addr's
+    # bytes extracted from that same image must equal the oracle address.
     c = Compiler()
     c.compile(src)
     base, _t = c.globals["out_addr"]
-    final_image = nc.chunks[-1].image_in  # image at entry of last chunk
+    addr_bytes = bytes(
+        (int(nc.final_image[((base + i) >> 2) - mem_base])
+         >> (8 * ((base + i) & 3))) & 0xFF for i in range(20))
+    assert addr_bytes == expect, (
+        f"recovered address in the proven final image "
+        f"(0x{addr_bytes.hex()}) != oracle (0x{expect.hex()})")
+    address_proven = (len(nc.chunks) - 1) in sel
     res = {
         "cycles": int(nc.total_cycles),
         "n_chunks": len(nc.chunks),
@@ -136,7 +152,9 @@ def main():
         "trace_s": round(trace_s, 1),
         "prove_s": round(prove_s, 1),
         "total_s": round(time.time() - t_all, 1),
-        "address": "0x" + expect.hex(),
+        "address": "0x" + addr_bytes.hex(),
+        "address_proven": address_proven,
+        "engine": engine_repr,
         "verified": True,
     }
     with open(args.o, "w") as f:

@@ -119,6 +119,42 @@ int main() {
                 (b.pc, b.regs, b.mem_op, b.halted), f"chunk {k} state {i}"
 
 
+def test_jump_into_gap_slot_errors():
+    """A jump into an inter-instruction gap must fail in BOTH executors:
+    the Python authority raises (unmapped pc), and the native executor
+    returns RV_ERR_PC (gap slots are op id 255, not silent NOPs)."""
+    from eigen_zkvm_tpu.zkvm.rv32_isa import RvInstr
+
+    program = {0: RvInstr("jal", rd=0, imm=4),   # jump to pc 4 (a gap)
+               8: RvInstr("ecall")}              # never reached
+    with pytest.raises(KeyError):
+        execute(program, 0)
+    ctx = rn.NativeRun(program, 0, n_words=64)
+    with pytest.raises(AssertionError, match="rc=-1"):
+        ctx.run(max_cycles=16)
+
+
+def test_chunker_halt_on_exact_budget_boundary():
+    """An ecall landing exactly on the row budget: the replay's cycle cap
+    exits with RV_CYCLES before re-fetching the ecall, so states_for must
+    take haltedness from the authoritative first run (ADVICE r4)."""
+    budget = 8
+    # 7 addis + ecall: the first chunk's rows hit the budget (budget-1=7
+    # non-ecall rows) with the ecall exactly on the boundary row
+    asm = "\n".join(["addi x5, x5, 1"] * (budget - 1)) + "\n    ecall\n"
+    program = program_from_asm(asm)
+    chunks_py, final_py = rv32_generate_chunks(program, 0, n_bits=3,
+                                               ram_words=64)
+    nc = rn.NativeChunker(program, 0, n_bits=3, ram_words=64)
+    assert nc.chunks[-1].halted
+    assert len(nc.chunks) == len(chunks_py)
+    for k, (states_py, image_py) in enumerate(chunks_py):
+        states_nat, image_nat = nc.states_for(k)
+        assert len(states_nat) == len(states_py)
+        assert states_nat[-1].halted == states_py[-1].halted, f"chunk {k}"
+    assert states_nat[-1].halted  # the final chunk really is final
+
+
 def test_throughput_is_native_class():
     """The executor must be orders of magnitude past the interpreter —
     a >=10M instr/s floor keeps accidental Python fallbacks visible."""
