@@ -210,7 +210,17 @@ def _analyze(ctx, segment, dom: str):
 def _trace_segment(si, segment, dom: str, nbits: int, nbits_ext: int,
                    state: dict, ma=None):
     """Pure function of `state` (dict name -> GL pair); returns the updated
-    written sections.  Called under jax.jit.
+    written sections.  Called under jax.jit."""
+    out, _ = _trace_ops(si, segment.first, dom, nbits, nbits_ext,
+                        state, {}, (), ma)
+    return out
+
+
+def _trace_ops(si, ops, dom: str, nbits: int, nbits_ext: int,
+               state: dict, tmp_state: dict, keep: tuple, ma=None):
+    """Pure function of (`state`: dict name -> GL pair, `tmp_state`: dict
+    tmp-id -> GL pair carried across a program split); returns (updated
+    written sections, kept tmps for `keep`).  Called under jax.jit.
 
     Under a mesh (`ma`), every full-domain buffer is row-sharded: the column
     ops are elementwise in rows, and the next-row rotations become
@@ -222,7 +232,9 @@ def _trace_segment(si, segment, dom: str, nbits: int, nbits_ext: int,
     next_ = 1 if dom == "n" else (1 << (nbits_ext - nbits))
     bufs = {k: (meshctx.rows(v, ma) if v[0].shape[0] == n else v)
             for k, v in state.items()}
-    tmps: dict = {}
+    # live-in tmps: their F-dimension rides in the array shape
+    tmps: dict = {i: (pair, pair[0].shape[-1])
+                  for i, pair in tmp_state.items()}
 
     def read(node):
         t = node.type_
@@ -293,7 +305,7 @@ def _trace_segment(si, segment, dom: str, nbits: int, nbits_ext: int,
         tmps = {k: (v, tmps[k][1])
                 for k, v in zip(keys, flat[len(names):])}
 
-    for opno, sec in enumerate(segment.first):
+    for opno, sec in enumerate(ops):
         if barrier_every and opno and opno % barrier_every == 0:
             _barrier_all()
         if sec.op in ("add", "sub", "mul"):
@@ -341,10 +353,78 @@ def _trace_segment(si, segment, dom: str, nbits: int, nbits_ext: int,
         bufs[name] = (buf[0].at[:, off : off + width].set(lo),
                       buf[1].at[:, off : off + width].set(hi))
         written.add(name)
-    return {k: bufs[k] for k in written}
+    return ({k: bufs[k] for k in written},
+            {i: tmps[i][0] for i in keep})
 
 
 _jit_cache: dict = {}
+
+
+def _slice_plan(ops, max_ops: int):
+    """Bounded program slices of an op stream + the live-in tmp set at
+    every slice entry.
+
+    The real zkVM machine PILs compile to 5-7K column ops per segment;
+    traced as ONE XLA program that is hundreds of thousands of HLO
+    instructions — more than the (remote) compile helper survives
+    (round-4: SIGKILL on the RV32 machine's step42ns at 2^16 rows).
+    Sliced, each sub-program stays bounded and the only cross-slice
+    state is the written sections plus the tmps that are live at the
+    boundary (upward-exposed reads downstream of earlier writes)."""
+    n = len(ops)
+    bounds = list(range(0, n, max_ops)) + [n]
+    slices = [(bounds[i], bounds[i + 1]) for i in range(len(bounds) - 1)
+              if bounds[i] < bounds[i + 1]]
+    sl_reads, sl_writes = [], []
+    for a, b in slices:
+        r, w = set(), set()
+        for sec in ops[a:b]:
+            for s in sec.src:          # src before dest: upward-exposed
+                if s.type_ == "tmp" and s.id not in w:
+                    r.add(s.id)
+            if sec.dest.type_ == "tmp":
+                w.add(sec.dest.id)
+        sl_reads.append(r)
+        sl_writes.append(w)
+    live_ins = []
+    written_before: set = set()
+    read_after = [set() for _ in slices] + [set()]
+    for k in range(len(slices) - 1, -1, -1):
+        read_after[k] = read_after[k + 1] | sl_reads[k]
+    for k in range(len(slices)):
+        live_ins.append(read_after[k] & written_before
+                        if k else set())
+        written_before |= sl_writes[k]
+    return slices, live_ins
+
+
+def _execute_segment_sliced(ctx, segment, dom: str, state: dict,
+                            max_ops: int, ma):
+    """Run one segment as a chain of bounded jit programs; sections and
+    live tmps stay device-resident between slices."""
+    si = ctx.starkinfo
+    ops = segment.first
+    slices, live_ins = _slice_plan(ops, max_ops)
+    tmp_state: dict = {}
+    out_all: dict = {}
+    state = dict(state)
+    for k, (a, b) in enumerate(slices):
+        keep = tuple(sorted(live_ins[k + 1])) if k + 1 < len(slices) else ()
+        key = (id(segment), k, dom, ctx.nbits, ctx.nbits_ext, ma, max_ops)
+        ent = _jit_cache.get(key)
+        fn = ent[1] if ent is not None and ent[0] is segment else None
+        if fn is None:
+            ops_k = ops[a:b]
+            fn = jax.jit(
+                lambda st, ts, _ops=ops_k, _keep=keep: _trace_ops(
+                    si, _ops, dom, ctx.nbits, ctx.nbits_ext, st, ts,
+                    _keep, ma),
+                compiler_options=_segment_compiler_options())
+            _jit_cache[key] = (segment, fn)
+        out, tmp_state = fn(state, tmp_state)
+        state.update(out)
+        out_all.update(out)
+    return out_all
 
 
 def _segment_compiler_options() -> dict | None:
@@ -526,15 +606,23 @@ def execute_segment(ctx, segment, dom: str):
     from ..parallel import meshctx
 
     ma = meshctx.active()
-    key = (id(segment), dom, ctx.nbits, ctx.nbits_ext, ma)
-    ent = _jit_cache.get(key)
-    fn = ent[1] if ent is not None and ent[0] is segment else None
-    if fn is None:
-        fn = jax.jit(lambda st: _trace_segment(
-            si, segment, dom, ctx.nbits, ctx.nbits_ext, st, ma),
-            compiler_options=_segment_compiler_options())
-        _jit_cache[key] = (segment, fn)
-    out = fn(state)
+    # program splitting: segments past the op budget run as a chain of
+    # bounded programs (the zkVM machine PILs are 5-7K ops per segment —
+    # one fused program of that size kills the XLA compile helper)
+    split = os.environ.get("EIGEN_ZKVM_VM_SPLIT_OPS", "")
+    max_ops = int(split) if split else 1024
+    if max_ops and len(segment.first) > max_ops:
+        out = _execute_segment_sliced(ctx, segment, dom, state, max_ops, ma)
+    else:
+        key = (id(segment), dom, ctx.nbits, ctx.nbits_ext, ma)
+        ent = _jit_cache.get(key)
+        fn = ent[1] if ent is not None and ent[0] is segment else None
+        if fn is None:
+            fn = jax.jit(lambda st: _trace_segment(
+                si, segment, dom, ctx.nbits, ctx.nbits_ext, st, ma),
+                compiler_options=_segment_compiler_options())
+            _jit_cache[key] = (segment, fn)
+        out = fn(state)
     resident = getattr(getattr(ctx, "engine", None), "device_resident", False)
     for name, pair in out.items():
         if cache is not None and name not in _NO_CACHE:

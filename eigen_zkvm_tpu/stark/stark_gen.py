@@ -283,7 +283,12 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
 
         pair = tpu.tpu_q_split(q_pair, q_dim, q_deg, ctx.nbits, ctx.nbits_ext)
         ctx._tpu_cache["cm4_2ns"] = pair
-        ctx.sections["cm4_2ns"][:, :] = _tpu_join(*pair)
+        if not ctx.engine.device_resident:
+            # mixed mode only: a host consumer (native VM / host FRI) may
+            # still read the section.  Fully resident, this download is
+            # ~GBs over the tunnel for nothing — tree4 merkelizes from
+            # the cached pair and step52ns reads the cache.
+            ctx.sections["cm4_2ns"][:, :] = _tpu_join(*pair)
     elif q_deg > 0:
         qq1 = ntt.intt(ctx.sections["q_2ns"])  # [Next, q_dim] coefficients
         qq2 = np.zeros((Next, q_dim * q_deg), dtype=np.uint64)

@@ -76,7 +76,7 @@ def test_evm_bytecode_with_keccak_differential():
     K, A = 0xDEADBEEF, 12345
     calldata = K.to_bytes(32, "big") + A.to_bytes(32, "big")
     storage = {1: 41}
-    rc, pairs, ret, dig = evm_mirror(TOKEN_CODE, calldata, 0, storage)
+    rc, pairs, ret, dig, _gas = evm_mirror(TOKEN_CODE, calldata, 0, storage)
     assert rc == 1 and dict(pairs)[1] == 42
     slot = int.from_bytes(keccak256_ref(
         K.to_bytes(32, "big") + (0).to_bytes(32, "big")), "big")
@@ -102,10 +102,120 @@ def test_evm_branching_and_arithmetic():
         "5b"        # 0x1a: JUMPDEST
         "00")       # STOP
     for cv, want in ((40, 120), (250, 7)):
-        rc, pairs, _ret, dig = evm_mirror(code, b"", cv, {})
+        rc, pairs, _ret, dig, _gas = evm_mirror(code, b"", cv, {})
         assert rc == 0 and dict(pairs)[5] == want
         states, final = _run_guest(code, b"", cv, {})
         assert final.regs[10] == int.from_bytes(dig[:4], "little"), cv
+
+
+def _push32(v: int) -> bytes:
+    return bytes([0x7F]) + (v & ((1 << 256) - 1)).to_bytes(32, "big")
+
+
+def test_evm_extended_arithmetic_differential():
+    """DIV/SDIV/MOD/SMOD/ADDMOD/MULMOD/EXP/SIGNEXTEND/SLT/SGT/BYTE/
+    SHL/SHR/SAR over randomized 256-bit operands: guest == mirror ==
+    Python big-int semantics (VERDICT r4 #7)."""
+    import random
+
+    rng = random.Random(0xE5D)
+    M = (1 << 256) - 1
+    MIN = 1 << 255
+    ops2 = [0x04, 0x05, 0x06, 0x07, 0x12, 0x13, 0x1A, 0x1B, 0x1C, 0x1D]
+    ops3 = [0x08, 0x09]
+    code = b""
+    slot = 0
+    cases = []
+    for _ in range(12):
+        op = rng.choice(ops2)
+        a = rng.choice([rng.getrandbits(256), rng.getrandbits(64),
+                        MIN, M, 0, 1])
+        b = rng.choice([rng.getrandbits(256), rng.getrandbits(32),
+                        M, 0, 1, 7, 255, 256])
+        # stack [b, a]: top = a = first operand
+        code += _push32(b) + _push32(a) + bytes([op])
+        code += _push32(slot) + bytes([0x55])          # SSTORE slot
+        cases.append((op, a, b))
+        slot += 1
+    for _ in range(2):
+        op = rng.choice(ops3)
+        n = rng.getrandbits(200) | 1
+        b, c = rng.getrandbits(256), rng.getrandbits(256)
+        code += _push32(n) + _push32(c) + _push32(b) + bytes([op])
+        code += _push32(slot) + bytes([0x55])
+        cases.append((op, b, c, n))
+        slot += 1
+    # EXP and SIGNEXTEND with controlled operands
+    code += _push32(3) + _push32(123456789) + bytes([0x0A])   # 123456789^3
+    code += _push32(slot) + bytes([0x55]); slot += 1
+    code += _push32(0xFF80) + _push32(0) + bytes([0x0B])      # signext k=0
+    code += _push32(slot) + bytes([0x55]); slot += 1
+    code += bytes([0x00])                                     # STOP
+    rc, pairs, _ret, dig, gas = evm_mirror(code, b"", 0, {})
+    assert rc == 0
+    vals = dict(pairs)
+
+    def s2c(v):
+        return v - (1 << 256) if v & MIN else v
+
+    for i, cs in enumerate(cases):
+        if cs[0] == 0x04:
+            want = cs[1] // cs[2] if cs[2] else 0
+        elif cs[0] == 0x05:
+            sa, sb = s2c(cs[1]), s2c(cs[2])
+            want = 0 if sb == 0 else (
+                (abs(sa) // abs(sb)) * (-1 if (sa < 0) != (sb < 0) else 1)
+                & M)
+        elif cs[0] == 0x06:
+            want = cs[1] % cs[2] if cs[2] else 0
+        elif cs[0] == 0x07:
+            sa, sb = s2c(cs[1]), s2c(cs[2])
+            want = 0 if sb == 0 else (
+                (abs(sa) % abs(sb)) * (-1 if sa < 0 else 1)) & M
+        elif cs[0] == 0x08:
+            want = (cs[1] + cs[2]) % cs[3] if cs[3] else 0
+        elif cs[0] == 0x09:
+            want = (cs[1] * cs[2]) % cs[3] if cs[3] else 0
+        elif cs[0] == 0x12:
+            want = 1 if s2c(cs[1]) < s2c(cs[2]) else 0
+        elif cs[0] == 0x13:
+            want = 1 if s2c(cs[1]) > s2c(cs[2]) else 0
+        elif cs[0] == 0x1A:
+            want = (cs[2] >> (8 * (31 - cs[1]))) & 0xFF if cs[1] < 32 else 0
+        elif cs[0] == 0x1B:
+            want = (cs[2] << cs[1]) & M if cs[1] < 256 else 0
+        elif cs[0] == 0x1C:
+            want = cs[2] >> cs[1] if cs[1] < 256 else 0
+        elif cs[0] == 0x1D:
+            want = ((s2c(cs[2]) >> min(cs[1], 255)) & M if cs[1] < 256
+                    else (M if cs[2] & MIN else 0))
+        assert vals[i] == want, f"case {i} op {cs[0]:#x}"
+    assert vals[slot - 2] == pow(123456789, 3, 1 << 256)
+    assert vals[slot - 1] == (1 << 256) - 0x80  # 0x80 sign-extended (k=0)
+    # the compiled guest reproduces the mirror's post-state digest
+    states, final = _run_guest(code, b"", 0, {})
+    assert final.regs[10] == int.from_bytes(dig[:4], "little")
+
+
+def test_evm_gas_metering_and_oog():
+    """Gas: a storage-writing program leaves the same gas_left in guest
+    and mirror (bound via the digest), and a tight limit out-of-gasses
+    both (rc=3 mirror, a0=0 guest)."""
+    code = (_push32(7) + _push32(5) + bytes([0x55])          # SSTORE 5<-7
+            + _push32(2) + _push32(10) + bytes([0x0A])       # 10^2
+            + _push32(6) + bytes([0x55])                     # SSTORE 6<-100
+            + bytes([0x00]))
+    rc, pairs, _r, dig, gas = evm_mirror(code, b"", 0, {})
+    assert rc == 0 and dict(pairs) == {5: 7, 6: 100}
+    assert gas < 30_000_000  # something was charged
+    states, final = _run_guest(code, b"", 0, {})
+    assert final.regs[10] == int.from_bytes(dig[:4], "little")
+    # starve it: 20000 (SSTORE) won't fit in 1000 gas
+    rc2, _p, _r2, _d, gas2 = evm_mirror(code, b"", 0, {}, gas_limit=1000)
+    assert rc2 == 3
+    src = build_guest_source(code, b"", 0, {}, gas_limit=1000)
+    _f, a0 = c_execute(src, max_cycles=1 << 24)
+    assert a0 == 0
 
 
 @pytest.mark.slow
@@ -147,7 +257,7 @@ def test_evm_contract_proves_with_continuations():
     K, A = 0xDEADBEEF, 12345
     calldata = K.to_bytes(32, "big") + A.to_bytes(32, "big")
     storage = {1: 41}
-    rc, pairs, ret, dig = evm_mirror(TOKEN_CODE, calldata, 0, storage)
+    rc, pairs, ret, dig, _gas = evm_mirror(TOKEN_CODE, calldata, 0, storage)
     src = build_guest_source(TOKEN_CODE, calldata, 0, storage)
     proofs, pubs, machine, setup, ss = elf_execute_and_prove(
         c_to_elf(src), n_bits=16, n_queries=2,

@@ -27,3 +27,13 @@ def test_vm_jax_matches_numpy(monkeypatch):
     p1 = stark_gen(cm, const_pols, setup.const_tree, setup.starkinfo,
                    setup.program, ss)
     assert stark_proof_to_json(p0) == stark_proof_to_json(p1)
+    # program splitting (the real-machine-PIL device path): every segment
+    # forced into 8-op slices with live-tmp threading must still produce
+    # the byte-identical proof
+    monkeypatch.setenv("EIGEN_ZKVM_VM_SPLIT_OPS", "8")
+    from eigen_zkvm_tpu.ops import vm_jax
+
+    vm_jax._jit_cache.clear()
+    p2 = stark_gen(cm, const_pols, setup.const_tree, setup.starkinfo,
+                   setup.program, ss)
+    assert stark_proof_to_json(p0) == stark_proof_to_json(p2)
