@@ -239,8 +239,11 @@ _msm_prep_cache: dict = {}
 
 
 def _msm(curve, points, scalars, g1: bool):
-    # opt-in accelerator path (BN254 G1 only): batched double-and-add on
-    # the TPU via ops/ec_jax.py — set EIGEN_ZKVM_TPU_MSM=1
+    # Engine default = the recorded benchmark winner (bench.py
+    # bench_msm_rates: msm_points_per_s_{host,tpu}) — the host IFMA
+    # Pippenger wins at every measured size, so the TPU double-and-add
+    # (ops/ec_jax.py, bit-exact) stays an explicit opt-in:
+    # EIGEN_ZKVM_TPU_MSM=1 (BN254 G1 only).
     if g1 and os.environ.get("EIGEN_ZKVM_TPU_MSM") == "1" \
             and curve.P.bit_length() == 254:
         from ..ops import ec_jax

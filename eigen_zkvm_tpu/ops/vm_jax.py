@@ -134,6 +134,59 @@ def compute_xdiv(ctx, xi, wxi):
     return _join64(*pair_xi), _join64(*pair_wxi)
 
 
+@partial(jax.jit, static_argnames=("nbits",))
+def _geo_scaled(base_lo, base_hi, w_lo, w_hi, nbits: int):
+    """[2^nbits] GL pair base * w^i (i ascending) by log-depth doubling —
+    bit-exact with host gl.mul(base, gl.exp_vec(w, arange))."""
+    lo, hi = base_lo, base_hi          # [1] = base * w^0
+    cur = (w_lo, w_hi)                 # [1] = w^(2^k)
+    for _ in range(nbits):
+        seg = g.mul((lo, hi), (jnp.broadcast_to(cur[0], lo.shape),
+                               jnp.broadcast_to(cur[1], hi.shape)))
+        lo = jnp.concatenate([lo, seg[0]])
+        hi = jnp.concatenate([hi, seg[1]])
+        cur = g.mul(cur, cur)
+    return lo, hi
+
+
+@partial(jax.jit, static_argnames=("reps",))
+def _tile_pair(lo, hi, reps: int):
+    return jnp.tile(lo, reps), jnp.tile(hi, reps)
+
+
+def seed_domains(ctx):
+    """Build the x_n / x_2ns / zhinv_2ns domain vectors ON DEVICE and
+    deposit them in ctx._tpu_cache: in the device-VM prove the host never
+    materializes or uploads them (at the north star each is a 2^24 u64
+    vector — ~134 MB of host exp_vec work + tunnel upload per prove)."""
+    import numpy as _np
+
+    from ..fields import gl64 as _gl
+
+    cache = ctx._tpu_cache
+
+    def scal(v):
+        v = int(v)
+        return (jnp.asarray([v & 0xFFFFFFFF], jnp.uint32),
+                jnp.asarray([v >> 32], jnp.uint32))
+
+    one = scal(1)
+    shift = scal(_gl.SHIFT)
+    w_n = scal(_gl.root_of_unity(ctx.nbits))
+    w_ext = scal(_gl.root_of_unity(ctx.nbits_ext))
+    cache["x_n"] = _geo_scaled(one[0], one[1], w_n[0], w_n[1], ctx.nbits)
+    cache["x_2ns"] = _geo_scaled(shift[0], shift[1], w_ext[0], w_ext[1],
+                                 ctx.nbits_ext)
+    eb = ctx.nbits_ext - ctx.nbits
+    sn = _gl.exp(_np.uint64(_gl.SHIFT), 1 << ctx.nbits)
+    w_eb = _np.uint64(_gl.root_of_unity(eb))
+    zh = _gl.sub(_gl.mul(sn, _gl.exp_vec(
+        w_eb, _np.arange(1 << eb, dtype=_np.uint64))), _np.uint64(1))
+    plo, phi = _split64(_gl.inv(zh))
+    cache["zhinv_2ns"] = _tile_pair(plo, phi,
+                                    (1 << ctx.nbits_ext) >> eb)
+
+
 def _set_c0(a, v):
     """Replace component 0 of an F3 pair with GL pair v ([n,1])."""
     return (jnp.concatenate([v[0], a[0][:, 1:]], axis=-1),

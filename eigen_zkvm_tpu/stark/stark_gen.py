@@ -199,15 +199,24 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
     w_n = np.uint64(gl.root_of_unity(ctx.nbits))
     w_ext = np.uint64(gl.root_of_unity(ctx.nbits_ext))
     shift = np.uint64(gl.SHIFT)
-    ctx.x_n = gl.exp_vec(w_n, np.arange(N, dtype=np.uint64))
-    ctx.x_2ns = gl.mul(shift, gl.exp_vec(w_ext, np.arange(Next, dtype=np.uint64)))
+    if ctx.engine.tpu_vm:
+        # device VM: the x / Z_H^-1 domain vectors are built ON DEVICE
+        # (log-doubling kernels, bit-exact) — the host neither computes
+        # nor uploads them (134 MB each at 2^24 through the tunnel)
+        from ..ops import vm_jax as _vmj
 
-    # Z_H^-1 on the extended coset: 1 / (shift^N * w_eb^i - 1), period 2^eb
-    sn = gl.exp(shift, N)
-    w_eb = np.uint64(gl.root_of_unity(extend_bits))
-    zh = gl.sub(gl.mul(sn, gl.exp_vec(w_eb, np.arange(1 << extend_bits, dtype=np.uint64))),
-                np.uint64(1))
-    ctx.zhinv_2ns = np.tile(gl.inv(zh), Next >> extend_bits)
+        _vmj.seed_domains(ctx)
+    else:
+        ctx.x_n = gl.exp_vec(w_n, np.arange(N, dtype=np.uint64))
+        ctx.x_2ns = gl.mul(shift,
+                           gl.exp_vec(w_ext, np.arange(Next, dtype=np.uint64)))
+        # Z_H^-1 on the extended coset: 1/(shift^N * w_eb^i - 1), period 2^eb
+        sn = gl.exp(shift, N)
+        w_eb = np.uint64(gl.root_of_unity(extend_bits))
+        zh = gl.sub(gl.mul(sn, gl.exp_vec(
+            w_eb, np.arange(1 << extend_bits, dtype=np.uint64))),
+            np.uint64(1))
+        ctx.zhinv_2ns = np.tile(gl.inv(zh), Next >> extend_bits)
 
     # publics
     n_pub = len(starkinfo.publics)
