@@ -421,6 +421,13 @@ def main():
     if device:
         try:
             if time.monotonic() < deadline - 300:
+                # r02 recorded 14.86 s / r04 23.21 s for this same AIR: the
+                # r04 number was ONE warm rep right after 1383 s of cold
+                # compiles (deadline pressure, tunnel variance) and sits on
+                # the Pallas auto-route added in r03 (a7c98f3).  A/B with
+                # EIGEN_ZKVM_NTT=ladder when investigating; r05 also
+                # removed two warm-path transfers (cm4_2ns download,
+                # domain-vector uploads) that both rounds paid.
                 warm, cold = bench_tpu_prove(nbits=20, reps=1,
                                              deadline=deadline)
                 if warm is not None:

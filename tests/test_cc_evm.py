@@ -14,11 +14,18 @@ from eigen_zkvm_tpu.zkvm.guest_keccak import keccak256_ref, keccak_c_source
 from eigen_zkvm_tpu.zkvm.rv32_isa import execute
 
 # slot = keccak256(K || 0); balances[slot] += A; counter at slot 1 += 1;
-# RETURN mem[0:32] — PUSH/DUP/SWAP/MSTORE/SHA3/SLOAD/SSTORE/ADD/RETURN
+# round 5: slot7 = A/3, slot8 = A >> 5, slot9 = sar(NOT A, 3) — the
+# extended arithmetic/shift opcodes INSIDE the proven vector;
+# RETURN mem[0:32] — PUSH/DUP/SWAP/MSTORE/SHA3/SLOAD/SSTORE/ADD/DIV/
+# SHR/SAR/NOT/RETURN
 TOKEN_CODE = bytes.fromhex(
     "600035" "600052" "6000602052" "6040600020"
     "8054" "602035" "01" "90" "55"
-    "600154" "600101" "600155" "60206000f3")
+    "600154" "600101" "600155"
+    "6003" "602035" "04" "600755"      # PUSH1 3, CDL(32), DIV, SSTORE 7
+    "602035" "6005" "1c" "600855"      # CDL(32), PUSH1 5, SHR, SSTORE 8
+    "602035" "19" "6003" "1d" "600955"  # CDL(32), NOT, SAR 3, SSTORE 9
+    "60206000f3")
 
 
 def test_compiler_produces_working_binaries():
@@ -81,6 +88,11 @@ def test_evm_bytecode_with_keccak_differential():
     slot = int.from_bytes(keccak256_ref(
         K.to_bytes(32, "big") + (0).to_bytes(32, "big")), "big")
     assert dict(pairs)[slot] == A
+    # the round-5 arithmetic/shift section of the vector
+    M = (1 << 256) - 1
+    assert dict(pairs)[7] == A // 3
+    assert dict(pairs)[8] == A >> 5
+    assert dict(pairs)[9] == ((A ^ M) >> 3) | (M ^ (M >> 3))  # sar(neg)
     states, final = _run_guest(TOKEN_CODE, calldata, 0, storage)
     assert final.regs[10] == int.from_bytes(dig[:4], "little")
 
