@@ -9,8 +9,10 @@ under RAM-image continuations.
 
 Opcodes: STOP ADD MUL SUB DIV SDIV MOD SMOD ADDMOD MULMOD EXP SIGNEXTEND
 LT GT SLT SGT EQ ISZERO AND OR XOR NOT BYTE SHL SHR SAR SHA3 CALLVALUE
-CALLDATALOAD POP MLOAD MSTORE SLOAD SSTORE JUMP JUMPI JUMPDEST
-PUSH1..32 DUP1..16 SWAP1..16 RETURN.  256-bit words are u32[8]
+CALLDATALOAD CALLDATASIZE CALLDATACOPY CODESIZE CODECOPY POP MLOAD
+MSTORE SLOAD SSTORE JUMP JUMPI PC MSIZE GAS JUMPDEST PUSH1..32 DUP1..16
+SWAP1..16 LOG0..LOG4 RETURN.  Emitted logs (topics + data records) are
+serialized into the post-state digest.  256-bit words are u32[8]
 little-endian limbs; memory/calldata follow EVM big-endian convention.
 DIV/MOD run binary long division (shift-subtract with the 2^256 carry
 tracked); MULMOD reduces the full 512-bit schoolbook product; EXP is
@@ -35,9 +37,11 @@ from __future__ import annotations
 from .guest_keccak import keccak256_ref, keccak_c_source
 
 MAXS = 16          # storage slots
-MAXSTACK = 64      # 256-bit stack entries
+MAXSTACK = 48      # 256-bit stack entries (guest RAM budget; EVM's 1024
+                   # does not fit the 8 KB image — documented cap)
 MAXMEM = 512       # bytes of EVM memory
 MAXRET = 64
+MAXLOGBUF = 256    # serialized LOG0..LOG4 records
 
 _EVM_C = r"""
 unsigned stk[MAXSTACK * 8];
@@ -48,6 +52,9 @@ unsigned retlen;
 unsigned skey[MAXS * 8];
 unsigned sval[MAXS * 8];
 int ns;
+/* LOG0..LOG4 records: [n_topics u8][topics 32B each][dlen u8][data] */
+unsigned char logbuf[MAXLOGBUF];
+unsigned loglen;
 
 void w_copy(unsigned *d, unsigned *s) {
     int i;
@@ -320,7 +327,10 @@ unsigned base_cost(unsigned op) {
     if (op == 0x08u || op == 0x09u) return 8u;     /* ADDMOD/MULMOD */
     if (op == 0x0au) return 10u;                   /* EXP base */
     if (op == 0x20u) return 30u;                   /* SHA3 base */
-    if (op == 0x34u || op == 0x50u) return 2u;     /* CALLVALUE/POP */
+    if (op == 0x34u || op == 0x50u || op == 0x36u || op == 0x38u
+        || op == 0x58u || op == 0x59u || op == 0x5au)
+        return 2u;     /* CALLVALUE/POP/CDSIZE/CODESIZE/PC/MSIZE/GAS */
+    if (op == 0x37u || op == 0x39u) return 3u;     /* *COPY base */
     if (op == 0x54u) return 100u;                  /* SLOAD (warm) */
     if (op == 0x56u) return 8u;                    /* JUMP */
     if (op == 0x57u) return 10u;                   /* JUMPI */
@@ -336,6 +346,7 @@ int evm_run(unsigned char *code, unsigned codelen,
     sp256 = 0;
     retlen = 0;
     memwords = 0;
+    loglen = 0;
     while (pc < codelen) {
         unsigned op = (unsigned)code[pc];
         pc = pc + 1;
@@ -526,6 +537,25 @@ int evm_run(unsigned char *code, unsigned codelen,
                     v = (unsigned)calldata[off + (unsigned)j];
                 w_setbyte(a, j, v);
             }
+        } else if (op == 0x36u) {                  /* CALLDATASIZE */
+            unsigned *a = spush();
+            w_zero(a); a[0] = cdlen;
+        } else if (op == 0x37u || op == 0x39u) {   /* CALLDATACOPY/CODECOPY */
+            unsigned *d = spop(); unsigned *o = spop(); unsigned *l = spop();
+            unsigned dst = d[0]; unsigned off = o[0]; unsigned len = l[0];
+            unsigned char *src = op == 0x37u ? calldata : code;
+            unsigned srclen = op == 0x37u ? cdlen : codelen;
+            unsigned j;
+            if (dst > (unsigned)MAXMEM || len > (unsigned)MAXMEM
+                || dst + len > (unsigned)MAXMEM) return 2;
+            if (!use_gas(3u * ((len + 31u) >> 5))) return 3;
+            if (!mem_expand(dst + len)) return 3;
+            for (j = 0; j < len; j++)
+                emem[dst + j] = off + j < srclen ? src[off + j]
+                                                 : (unsigned char)0;
+        } else if (op == 0x38u) {                  /* CODESIZE */
+            unsigned *a = spush();
+            w_zero(a); a[0] = codelen;
         } else if (op == 0x50u) {                  /* POP */
             spop();
         } else if (op == 0x51u) {                  /* MLOAD */
@@ -585,6 +615,15 @@ int evm_run(unsigned char *code, unsigned codelen,
         } else if (op == 0x57u) {                  /* JUMPI */
             unsigned *t = spop(); unsigned *c = spop();
             if (!w_iszero(c)) pc = t[0];
+        } else if (op == 0x58u) {                  /* PC (of this op) */
+            unsigned *a = spush();
+            w_zero(a); a[0] = pc - 1u;
+        } else if (op == 0x59u) {                  /* MSIZE */
+            unsigned *a = spush();
+            w_zero(a); a[0] = memwords * 32u;
+        } else if (op == 0x5au) {                  /* GAS (post-charge) */
+            unsigned *a = spush();
+            w_zero(a); a[0] = gas;
         } else if (op == 0x5bu) {                  /* JUMPDEST */
         } else if (op >= 0x60u && op <= 0x7fu) {   /* PUSH1..32 */
             unsigned n = op - 0x5fu;
@@ -605,6 +644,30 @@ int evm_run(unsigned char *code, unsigned codelen,
             unsigned t;
             int i;
             for (i = 0; i < 8; i++) { t = a[i]; a[i] = b[i]; b[i] = t; }
+        } else if (op >= 0xa0u && op <= 0xa4u) {   /* LOG0..LOG4 */
+            unsigned nt = op - 0xa0u;
+            unsigned *o = spop(); unsigned *l = spop();
+            unsigned off = o[0]; unsigned len = l[0];
+            unsigned j;
+            unsigned t;
+            if (off > (unsigned)MAXMEM || len > (unsigned)MAXMEM
+                || off + len > (unsigned)MAXMEM || len > 255u) return 2;
+            if (!use_gas(375u + 375u * nt + 8u * len)) return 3;
+            if (!mem_expand(off + len)) return 3;
+            if (loglen + 2u + nt * 32u + len > (unsigned)MAXLOGBUF)
+                return 2;
+            logbuf[loglen] = (unsigned char)nt; loglen = loglen + 1u;
+            for (t = 0; t < nt; t++) {
+                unsigned *tp = spop();
+                for (j = 0; j < 32; j++) {
+                    logbuf[loglen] = (unsigned char)w_byte(tp, (int)j);
+                    loglen = loglen + 1u;
+                }
+            }
+            logbuf[loglen] = (unsigned char)len; loglen = loglen + 1u;
+            for (j = 0; j < len; j++) {
+                logbuf[loglen] = emem[off + j]; loglen = loglen + 1u;
+            }
         } else if (op == 0xf3u) {                  /* RETURN */
             unsigned *o = spop(); unsigned *l = spop();
             unsigned off = o[0]; unsigned len = l[0];
@@ -625,7 +688,7 @@ int evm_run(unsigned char *code, unsigned codelen,
 
 /* serialize (ns, key/val pairs, return data) and hash it: the post-state
    commitment the proof's boundary publics carry */
-unsigned char acc_buf[MAXS * 64 + MAXRET + 12];
+unsigned char acc_buf[MAXS * 64 + MAXRET + MAXLOGBUF + 14];
 unsigned char out_dig[32];
 
 unsigned post_state_digest(void) {
@@ -646,6 +709,12 @@ unsigned post_state_digest(void) {
     acc_buf[pos] = (unsigned char)retlen; pos = pos + 1;
     for (j = 0; (unsigned)j < retlen; j++) {
         acc_buf[pos] = retbuf[j]; pos = pos + 1;
+    }
+    /* emitted logs (2-byte LE length + records) */
+    acc_buf[pos] = (unsigned char)(loglen & 0xffu); pos = pos + 1;
+    acc_buf[pos] = (unsigned char)(loglen >> 8); pos = pos + 1;
+    for (j = 0; (unsigned)j < loglen; j++) {
+        acc_buf[pos] = logbuf[j]; pos = pos + 1;
     }
     for (j = 0; j < 4; j++) {      /* remaining gas, little-endian */
         acc_buf[pos] = (unsigned char)((gas >> (8u * (unsigned)j)) & 0xffu);
@@ -675,6 +744,7 @@ def build_guest_source(code: bytes, calldata: bytes, callvalue: int,
     cv_limbs = [(callvalue >> (32 * i)) & 0xFFFFFFFF for i in range(8)]
     init_kv = b""
     src = _EVM_C.replace("MAXSTACK", str(MAXSTACK)) \
+                .replace("MAXLOGBUF", str(MAXLOGBUF)) \
                 .replace("MAXMEM", str(MAXMEM)) \
                 .replace("MAXRET", str(MAXRET)) \
                 .replace("MAXS", str(MAXS))
@@ -715,14 +785,16 @@ int main() {{
 def _base_cost(op: int) -> int:
     if 0x60 <= op <= 0x9F:
         return 3
-    if op in (0x01, 0x03, 0x35, 0x51, 0x52) or 0x10 <= op <= 0x1D:
+    if op in (0x01, 0x03, 0x35, 0x37, 0x39, 0x51, 0x52) \
+            or 0x10 <= op <= 0x1D:
         return 3
     if op in (0x02, 0x04, 0x05, 0x06, 0x07, 0x0B):
         return 5
     if op in (0x08, 0x09):
         return 8
-    return {0x0A: 10, 0x20: 30, 0x34: 2, 0x50: 2, 0x54: 100,
-            0x56: 8, 0x57: 10, 0x5B: 1}.get(op, 0)
+    return {0x0A: 10, 0x20: 30, 0x34: 2, 0x36: 2, 0x38: 2, 0x50: 2,
+            0x54: 100, 0x56: 8, 0x57: 10, 0x58: 2, 0x59: 2, 0x5A: 2,
+            0x5B: 1}.get(op, 0)
 
 
 def evm_mirror(code: bytes, calldata: bytes, callvalue: int,
@@ -745,6 +817,7 @@ def evm_mirror(code: bytes, calldata: bytes, callvalue: int,
         skey.append(k)
         sval.append(v)
     ret = b""
+    logblob = b""
     pc = 0
     rc = 0
     gas = gas_limit
@@ -891,6 +964,20 @@ def evm_mirror(code: bytes, calldata: bytes, callvalue: int,
             off = stk.pop()
             blob = calldata[off : off + 32].ljust(32, b"\x00")
             stk.append(int.from_bytes(blob, "big"))
+        elif op == 0x36:
+            stk.append(len(calldata))
+        elif op in (0x37, 0x39):   # CALLDATACOPY / CODECOPY
+            dst, off, ln = stk.pop(), stk.pop(), stk.pop()
+            src = calldata if op == 0x37 else code
+            if dst + ln > MAXMEM:
+                return 2, list(zip(skey, sval)), b"", b"", gas
+            if not use(3 * ((ln + 31) >> 5)) or not expand(dst + ln):
+                rc = 3
+                break
+            blob = src[off : off + ln].ljust(ln, b"\x00")
+            mem[dst : dst + ln] = blob
+        elif op == 0x38:
+            stk.append(len(code))
         elif op == 0x50:
             stk.pop()
         elif op == 0x51:
@@ -929,6 +1016,12 @@ def evm_mirror(code: bytes, calldata: bytes, callvalue: int,
             t, c = stk.pop(), stk.pop()
             if c:
                 pc = t
+        elif op == 0x58:
+            stk.append(pc - 1)
+        elif op == 0x59:
+            stk.append(memwords * 32)
+        elif op == 0x5A:
+            stk.append(gas)
         elif op == 0x5B:
             pass
         elif 0x60 <= op <= 0x7F:
@@ -940,6 +1033,24 @@ def evm_mirror(code: bytes, calldata: bytes, callvalue: int,
         elif 0x90 <= op <= 0x9F:
             d = op - 0x8F
             stk[-1], stk[-1 - d] = stk[-1 - d], stk[-1]
+        elif 0xA0 <= op <= 0xA4:   # LOG0..LOG4
+            nt = op - 0xA0
+            off, ln = stk.pop(), stk.pop()
+            if off + ln > MAXMEM or ln > 255:
+                return 2, list(zip(skey, sval)), b"", b"", gas
+            if not use(375 + 375 * nt + 8 * ln):
+                rc = 3
+                break
+            if not expand(off + ln):
+                rc = 3
+                break
+            rec = bytes([nt])
+            for _ in range(nt):
+                rec += stk.pop().to_bytes(32, "big")
+            rec += bytes([ln]) + bytes(mem[off : off + ln])
+            if len(logblob) + len(rec) > MAXLOGBUF:
+                return 2, list(zip(skey, sval)), b"", b"", gas
+            logblob += rec
         elif op == 0xF3:
             off, ln = stk.pop(), stk.pop()
             if off + ln > MAXMEM:
@@ -959,5 +1070,6 @@ def evm_mirror(code: bytes, calldata: bytes, callvalue: int,
     for k, v in zip(skey, sval):
         blob += k.to_bytes(32, "big") + v.to_bytes(32, "big")
     blob += bytes([len(ret)]) + ret
+    blob += len(logblob).to_bytes(2, "little") + logblob
     blob += gas.to_bytes(4, "little")
     return rc, list(zip(skey, sval)), ret, keccak256_ref(blob), gas

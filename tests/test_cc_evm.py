@@ -209,6 +209,38 @@ def test_evm_extended_arithmetic_differential():
     assert final.regs[10] == int.from_bytes(dig[:4], "little")
 
 
+def test_evm_env_copy_and_log_opcodes():
+    """CALLDATASIZE/CALLDATACOPY/CODESIZE/CODECOPY/PC/MSIZE/GAS and
+    LOG0..LOG2: guest == mirror, logs bound into the digest."""
+    cd = bytes(range(1, 41))
+    code = (
+        _push32(8) + _push32(4) + _push32(0) + bytes([0x37])   # CDCOPY 8B
+        + _push32(32) + _push32(0) + _push32(64) + bytes([0x39])  # CODECOPY
+        + bytes([0x36]) + _push32(0) + bytes([0x55])           # slot0=cdsize
+        + bytes([0x38]) + _push32(1) + bytes([0x55])           # slot1=codesz
+        + bytes([0x58]) + _push32(2) + bytes([0x55])           # slot2=pc
+        + bytes([0x59]) + _push32(3) + bytes([0x55])           # slot3=msize
+        + bytes([0x5A]) + _push32(4) + bytes([0x55])           # slot4=gas
+        # LOG1 topic=0x77, data = mem[0:8] (the copied calldata)
+        + _push32(0x77) + _push32(8) + _push32(0) + bytes([0xA1])
+        # LOG0 data = mem[64:4]
+        + _push32(4) + _push32(64) + bytes([0xA0])
+        + bytes([0x00]))
+    rc, pairs, _ret, dig, gas = evm_mirror(code, cd, 0, {})
+    assert rc == 0
+    vals = dict(pairs)
+    assert vals[0] == len(cd) and vals[1] == len(code)
+    assert vals[3] == 96  # high-water: CODECOPY to 64+32
+    assert vals[4] < 30_000_000
+    states, final = _run_guest(code, cd, 0, {})
+    assert final.regs[10] == int.from_bytes(dig[:4], "little")
+    # digest must change if a log is dropped (binding check, mirror-side)
+    code_nolog = code[: -len(_push32(4) + _push32(64) + b"\xa0\x00")] \
+        + bytes([0x00])
+    _rc2, _p2, _r2, dig2, _g2 = evm_mirror(code_nolog, cd, 0, {})
+    assert dig2 != dig
+
+
 def test_evm_gas_metering_and_oog():
     """Gas: a storage-writing program leaves the same gas_left in guest
     and mirror (bound via the digest), and a tight limit out-of-gasses
