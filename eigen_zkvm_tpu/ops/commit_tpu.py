@@ -64,12 +64,50 @@ def _flat_write(flo, fhi, lvl_lo, lvl_hi, off):
             jax.lax.dynamic_update_slice(fhi, lvl_hi, (off, 0)))
 
 
+# Levels at or below this node count run as ONE fused program in the
+# eager tree (9+ levels + the tail scan + their flat-store writes fold
+# into a single dispatch).  Peak transient of the fused chunk is ~2x the
+# first fused level (<= 2^20 x 4 x u32-pair = 64 MB) — irrelevant next
+# to the 2^24-leaf levels that stay eager for the HBM budget.  Every
+# program through the remote tunnel pays dispatch RTT, and the eager
+# tree was ~28 programs of which ~20 were these small levels.
+EAGER_FUSE_NODES = 1 << 20
+
+
+@partial(jax.jit, static_argnames=("n0",))
+def _small_levels_fused(lo, hi, n0: int):
+    """All levels from a [n0, 4] node level down (binary until the tail,
+    then the constant-shape scan) as ONE program; returns the flat
+    concatenation in _level_meta storage order."""
+    lvl = (lo, hi)
+    outs_lo, outs_hi = [], []
+    tail = pj.MERKLE_TAIL
+    n = n0
+    while n > 1 and (n > tail or (n & (n - 1))):
+        if n % 2 == 1:
+            lvl = (jnp.concatenate(
+                [lvl[0], jnp.zeros((1, 4), jnp.uint32)], axis=0),
+                jnp.concatenate(
+                [lvl[1], jnp.zeros((1, 4), jnp.uint32)], axis=0))
+        lvl = pj._level_block_jit(lvl[0], lvl[1])
+        outs_lo.append(lvl[0])
+        outs_hi.append(lvl[1])
+        n = (n - 1) // 2 + 1
+    if n > 1:
+        stack = pj._tail_stack_jit(lvl)
+        T = n
+        t = T.bit_length() - 1
+        outs_lo.append(stack[0].reshape(t * T, 4))
+        outs_hi.append(stack[1].reshape(t * T, 4))
+    return jnp.concatenate(outs_lo, axis=0), jnp.concatenate(outs_hi, axis=0)
+
+
 def _eager_flat_tree(lde, n_pols: int, height: int):
     """Level-at-a-time tree build for the big single-device path: each
-    level is its own program, the previous level's buffer is freed as
-    soon as it is written into the flat store, and the flat store is
-    updated by donation — peak extra memory is one level + one block
-    temp instead of (all levels + a full flat copy)."""
+    BIG level is its own program (HBM budget), the previous level's
+    buffer is freed as soon as it is written into the flat store, the
+    flat store is updated by donation, and everything from
+    EAGER_FUSE_NODES down runs as one fused program."""
     sizes, offsets = _level_meta(height)
     tail = pj.MERKLE_TAIL
     # unrolled-level count mirrors _level_meta's first while loop
@@ -88,6 +126,10 @@ def _eager_flat_tree(lde, n_pols: int, height: int):
     n = height
     k = 0
     while n > 1 and (n > tail or (n & (n - 1))):
+        if n <= EAGER_FUSE_NODES:
+            rest_lo, rest_hi = _small_levels_fused(lvl[0], lvl[1], n)
+            return _flat_write(flo, fhi, rest_lo, rest_hi,
+                               offsets[k] + sizes[k])
         if n % 2 == 1:
             lvl = (jnp.concatenate(
                 [lvl[0], jnp.zeros((1, 4), jnp.uint32)], axis=0),
