@@ -314,6 +314,33 @@ def _level_block_jit(plo, phi):
     return hash_n(pr, st)
 
 
+@jax.jit
+def _level_loop_jit(lo, hi):
+    """One big binary level as ONE program: a fori_loop walks contiguous
+    2*POSEIDON_BLOCK-row windows, hashing each with a single traced
+    hash_n instance into a preallocated half-size output — same blocked
+    memory profile as the python-level dispatch form, one dispatch
+    instead of n/blk.  Opt-in (EIGEN_ZKVM_MERKLE_LOOP=1) until measured
+    on real hardware; bit-identity is pinned by tests."""
+    n = lo.shape[0]
+    blk = 2 * POSEIDON_BLOCK
+    K = n // blk
+    out_lo = jnp.zeros((n // 2, 4), jnp.uint32)
+    out_hi = jnp.zeros((n // 2, 4), jnp.uint32)
+
+    def body(k, outs):
+        olo, ohi = outs
+        slo = jax.lax.dynamic_slice(lo, (k * blk, 0), (blk, 4))
+        shi = jax.lax.dynamic_slice(hi, (k * blk, 0), (blk, 4))
+        pr = (slo.reshape(blk // 2, 8), shi.reshape(blk // 2, 8))
+        z = jnp.zeros((blk // 2, 4), jnp.uint32)
+        hlo, hhi = hash_n(pr, (z, z))
+        return (jax.lax.dynamic_update_slice(olo, hlo, (k * (blk // 2), 0)),
+                jax.lax.dynamic_update_slice(ohi, hhi, (k * (blk // 2), 0)))
+
+    return jax.lax.fori_loop(0, K, body, (out_lo, out_hi))
+
+
 def _level_step_jit(lvl):
     """One binary Merkle level (even size): [n,4] pair -> [n/2,4] pair.
     Sibling pairing is a RESHAPE (adjacent rows), not a strided gather —
@@ -323,13 +350,18 @@ def _level_step_jit(lvl):
     (contiguous row slices, each its own program): a whole-array
     [n,4] -> [n/2,8] reshape forces a full relayout the hash keeps live
     (measured 13.2 GB of HLO temp at 2^24 nodes), and the lax.map
-    nested-scan form fails to compile outright at that size.  The eager
-    tree path is per-level dispatch already, so 32 more dispatches per
-    big level cost noise."""
+    nested-scan form fails to compile outright at that size.  With
+    EIGEN_ZKVM_MERKLE_LOOP=1 the blocks run as a fori_loop inside ONE
+    program instead (bit-identical; per-dispatch tunnel RTT amortized —
+    measure before making it the default)."""
+    import os
+
     n = lvl[0].shape[0]
     blk = 2 * POSEIDON_BLOCK
     if n <= blk or n % blk:
         return _level_block_jit(lvl[0], lvl[1])
+    if os.environ.get("EIGEN_ZKVM_MERKLE_LOOP"):
+        return _level_loop_jit(lvl[0], lvl[1])
     outs = [_level_block_jit(lvl[0][k : k + blk], lvl[1][k : k + blk])
             for k in range(0, n, blk)]
     return (jnp.concatenate([o[0] for o in outs], axis=0),

@@ -37,3 +37,25 @@ def test_eager_flat_tree_matches_fused_and_host(monkeypatch,
     for idx in (0, 1, height // 2, height - 1):
         v, mp = tree.get_group_proof(idx)
         assert MerkleTreeGL.verify_group_proof(host.root(), mp, idx, v)
+
+
+def test_level_loop_matches_block_dispatch(monkeypatch):
+    """EIGEN_ZKVM_MERKLE_LOOP=1 (fori_loop big-level hashing) is
+    bit-identical to the python-level block dispatch form."""
+    import jax.numpy as jnp
+
+    from eigen_zkvm_tpu.ops import poseidon_jax as pj
+
+    monkeypatch.setattr(pj, "POSEIDON_BLOCK", 1 << 8)
+    rng = np.random.default_rng(11)
+    n = 1 << 12  # 8 blocks of 2*2^8
+    lvl_np = rng.integers(0, 2**63, size=(2, n, 4), dtype=np.uint64) \
+        % np.uint64(0xFFFFFFFF00000001)
+    lo = jnp.asarray((lvl_np[0] & 0xFFFFFFFF).astype(np.uint32))
+    hi = jnp.asarray((lvl_np[0] >> np.uint64(32)).astype(np.uint32))
+    monkeypatch.delenv("EIGEN_ZKVM_MERKLE_LOOP", raising=False)
+    a = pj._level_step_jit((lo, hi))
+    monkeypatch.setenv("EIGEN_ZKVM_MERKLE_LOOP", "1")
+    b = pj._level_step_jit((lo, hi))
+    assert np.array_equal(np.asarray(a[0]), np.asarray(b[0]))
+    assert np.array_equal(np.asarray(a[1]), np.asarray(b[1]))
