@@ -24,4 +24,5 @@ EIGEN_ZKVM_NTT=ladder timeout 3000 python scripts/bench_big.py \
     --nbits 20 --width 8 --reps 2 2>&1 | tail -4
 
 # 4. Unit kernel rates -> committed artifact for the README citations
-timeout 1800 python scripts/unit_bench.py 2>&1 | tail -6
+timeout 1800 python scripts/unit_bench.py 2>/dev/null \
+    | grep '^{' > BENCH_UNITS.jsonl && cat BENCH_UNITS.jsonl
