@@ -69,8 +69,9 @@ int main() {{
         assert a0 == int.from_bytes(keccak256_ref(msg)[:4], "little"), msg
 
 
-def _run_guest(code, calldata, callvalue, storage):
-    src = build_guest_source(code, calldata, callvalue, storage)
+def _run_guest(code, calldata, callvalue, storage, gas_limit=30_000_000):
+    src = build_guest_source(code, calldata, callvalue, storage,
+                             gas_limit=gas_limit)
     program, entry, image0, ram_words, mem_base = load_c_elf(c_to_elf(src))
     mem = {mem_base + i: int(w) for i, w in enumerate(image0) if w}
     states, final = execute(program, entry, mem=mem, max_cycles=1 << 24)
@@ -239,6 +240,60 @@ def test_evm_env_copy_and_log_opcodes():
         + bytes([0x00])
     _rc2, _p2, _r2, dig2, _g2 = evm_mirror(code_nolog, cd, 0, {})
     assert dig2 != dig
+
+
+def test_evm_random_program_fuzz_differential():
+    """Randomized EVM programs (stack-depth-tracked sampling over the
+    full supported op set, tight gas) interpreted by the compiled guest
+    must agree with the mirror on the post-state digest for every
+    terminating outcome, and on a0 == 0 for error/OOG outcomes."""
+    import random
+
+    rng = random.Random(0xF122)
+    OPS0 = [0x34, 0x36, 0x38, 0x58, 0x59, 0x5A]           # push 1
+    OPS2 = [0x01, 0x02, 0x03, 0x04, 0x05, 0x06, 0x07, 0x0B, 0x10, 0x11,
+            0x12, 0x13, 0x14, 0x16, 0x17, 0x18, 0x1A, 0x1B, 0x1C, 0x1D]
+    OPS3 = [0x08, 0x09]
+    calldata = bytes(rng.randrange(256) for _ in range(64))
+    n_ok = 0
+    for trial in range(12):
+        code = b""
+        depth = 0
+        for _ in range(rng.randrange(4, 16)):
+            r = rng.random()
+            if depth == 0 or r < 0.35:
+                v = rng.choice([rng.getrandbits(256), rng.getrandbits(32),
+                                rng.getrandbits(8), 0, 1])
+                code += _push32(v)
+                depth += 1
+            elif depth >= 3 and r < 0.45:
+                code += bytes([rng.choice(OPS3)])
+                depth -= 2
+            elif depth >= 2 and r < 0.75:
+                code += bytes([rng.choice(OPS2)])
+                depth -= 1
+            elif r < 0.85:
+                code += bytes([rng.choice(OPS0)])
+                depth += 1
+            else:
+                code += bytes([0x15])  # ISZERO
+        # store whatever remains (bounded slots), then stop
+        for s in range(min(depth, 4)):
+            code += _push32(s) + bytes([0x55])
+            depth -= 1
+        code += bytes([0x00])
+        res = evm_mirror(code, calldata, 7, {}, gas_limit=200_000)
+        rc, _pairs, _ret, dig, _gas = res
+        states, final = _run_guest(code, calldata, 7, {},
+                                   gas_limit=200_000)
+        if rc in (0, 1):
+            assert final.regs[10] == int.from_bytes(dig[:4], "little"), \
+                f"trial {trial} digest diverges (code={code.hex()})"
+            n_ok += 1
+        else:
+            assert final.regs[10] == 0, \
+                f"trial {trial} error path diverges (code={code.hex()})"
+    assert n_ok >= 6  # most sampled programs terminate cleanly
 
 
 def test_evm_gas_metering_and_oog():
