@@ -157,6 +157,7 @@ class _GlVec:
         lib.gl_vec_neg.argtypes = [u64p, u64p, ctypes.c_size_t]
         lib.gl_vec_mul_rows.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
                                         ctypes.c_size_t]
+        lib.gl_f3_xdiv.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_size_t]
 
     @staticmethod
     def _prep(a):
@@ -229,6 +230,17 @@ class _GlVec:
         a = np.ascontiguousarray(a, dtype=np.uint64)
         out = np.empty_like(a)
         self._lib.gl_vec_prefix_product(_ptr(a), _ptr(out), a.size)
+        return out
+
+    def f3_xdiv(self, x: np.ndarray, point: np.ndarray) -> np.ndarray:
+        """[n] base-field x, [3] point -> [n, 3] x/(x - point) in GF(p^3)
+        (adjugate + ONE Montgomery-batched norm inversion in C)."""
+        xv = np.ascontiguousarray(x, dtype=np.uint64)
+        pv = np.ascontiguousarray(np.asarray(point, dtype=np.uint64)[:3])
+        out = np.empty((xv.size, 3), dtype=np.uint64)
+        scratch = np.empty(2 * xv.size, dtype=np.uint64)
+        self._lib.gl_f3_xdiv(_ptr(xv), _ptr(pv), _ptr(out), _ptr(scratch),
+                             xv.size)
         return out
 
     @staticmethod

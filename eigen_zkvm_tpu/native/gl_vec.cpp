@@ -443,6 +443,95 @@ static void gl_ntt_stage(u64* data, size_t n, size_t k, const u64* pows,
     }
 }
 
+static u64 gl_exp_scalar(u64 b, u64 e) {
+    u64 r = 1;
+    while (e) {
+        if (e & 1) r = gl_mul(r, b);
+        b = gl_mul(b, b);
+        e >>= 1;
+    }
+    return r;
+}
+
+// out[i] = x[i] / (x[i] - point) over GF(p^3) with x base-field [n] and
+// point = (p0, p1, p2): den_i = (x_i - p0, -p1, -p2).  The prover's
+// xDivXSubXi/xDivXSubWXi pass (stark_gen.rs:487-522 role) — adjugate
+// numerators per element, ONE Montgomery-batched norm inversion, then
+// out_c = adj_c * t^-1 * x.  Bit-identical to fields/f3g.py inv +
+// mul_base (canonical values; same formula).  `scratch`: caller-provided
+// [2n] u64 workspace.
+void gl_f3_xdiv(const u64* x, const u64* point, u64* out, u64* scratch,
+                size_t n) {
+    u64 p0 = point[0];
+    u64 a1 = gl_sub(0, point[1]);
+    u64 a2 = gl_sub(0, point[2]);
+    u64 bb = gl_mul(a1, a1);
+    u64 cc = gl_mul(a2, a2);
+    u64 bc = gl_mul(a1, a2);
+    u64 bbb = gl_mul(bb, a1);
+    u64 bcc = gl_mul(bc, a2);
+    u64 ccc = gl_mul(cc, a2);
+    u64* tbuf = scratch;
+    u64* pre = scratch + n;
+    u64 acc = 1;
+    for (size_t i = 0; i < n; i++) {
+        u64 a0 = gl_sub(x[i], p0);
+        u64 aa = gl_mul(a0, a0);
+        u64 ac = gl_mul(a0, a2);
+        u64 ba = gl_mul(a1, a0);
+        u64 aaa = gl_mul(aa, a0);
+        u64 aac = gl_mul(aa, a2);
+        u64 abc = gl_mul(ba, a2);
+        u64 abb = gl_mul(ba, a1);
+        u64 acc2 = gl_mul(ac, a2);
+        u64 t = gl_sub(0, aaa);
+        t = gl_sub(t, aac);
+        t = gl_sub(t, aac);
+        t = gl_add(t, abc);
+        t = gl_add(t, abc);
+        t = gl_add(t, abc);
+        t = gl_add(t, abb);
+        t = gl_sub(t, acc2);
+        t = gl_sub(t, bbb);
+        t = gl_add(t, bcc);
+        t = gl_sub(t, ccc);
+        u64 i1 = gl_sub(0, aa);
+        i1 = gl_sub(i1, ac);
+        i1 = gl_sub(i1, ac);
+        i1 = gl_add(i1, bc);
+        i1 = gl_add(i1, bb);
+        i1 = gl_sub(i1, cc);
+        u64 i2 = gl_sub(ba, cc);
+        u64 i3 = gl_add(gl_sub(ac, bb), cc);
+        out[3 * i] = i1;
+        out[3 * i + 1] = i2;
+        out[3 * i + 2] = i3;
+        tbuf[i] = t;
+        acc = gl_mul(acc, t);
+        pre[i] = acc;
+    }
+    if (acc == 0) {
+        // a zero norm somewhere (x == xi, measure-zero): per-element
+        // inverses so the poisoned batch does not corrupt the rest
+        for (size_t i = 0; i < n; i++) {
+            u64 s = gl_mul(gl_exp_scalar(tbuf[i], P - 2), x[i]);
+            out[3 * i] = gl_mul(out[3 * i], s);
+            out[3 * i + 1] = gl_mul(out[3 * i + 1], s);
+            out[3 * i + 2] = gl_mul(out[3 * i + 2], s);
+        }
+        return;
+    }
+    u64 invall = gl_exp_scalar(acc, P - 2);
+    for (size_t i = n; i-- > 0;) {
+        u64 tinv = i ? gl_mul(invall, pre[i - 1]) : invall;
+        invall = gl_mul(invall, tbuf[i]);
+        u64 s = gl_mul(tinv, x[i]);
+        out[3 * i] = gl_mul(out[3 * i], s);
+        out[3 * i + 1] = gl_mul(out[3 * i + 1], s);
+        out[3 * i + 2] = gl_mul(out[3 * i + 2], s);
+    }
+}
+
 void gl_ntt(u64* data, size_t n, size_t k, const u64* pows, const u64* rev) {
     // bit-reverse permute rows (rev is an involution: swap i < rev[i])
     for (size_t i = 0; i < n; i++) {

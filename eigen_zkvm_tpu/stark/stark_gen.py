@@ -371,13 +371,22 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
         ctx.x_div_x_sub_xi, ctx.x_div_x_sub_wxi = vm_jax.compute_xdiv(
             ctx, xi, wxi)
     else:
+        from .. import native
+
         x_buff = ctx.x_2ns  # [Next] base
-        den = f3g.from_base(x_buff)
-        denw = den.copy()
-        den = f3g.sub(den, np.broadcast_to(xi[None, :], (Next, 3)))
-        denw = f3g.sub(denw, np.broadcast_to(wxi[None, :], (Next, 3)))
-        ctx.x_div_x_sub_xi = f3g.mul_base(f3g.inv(den), x_buff)
-        ctx.x_div_x_sub_wxi = f3g.mul_base(f3g.inv(denw), x_buff)
+        if native.gl_vec is not None and hasattr(native.gl_vec, "f3_xdiv"):
+            # fused native pass: adjugate + one batched norm inversion
+            # (the numpy form's two [Next, 3] batch inversions were the
+            # single hottest stage-4 item at 2^23: ~17 s each)
+            ctx.x_div_x_sub_xi = native.gl_vec.f3_xdiv(x_buff, xi)
+            ctx.x_div_x_sub_wxi = native.gl_vec.f3_xdiv(x_buff, wxi)
+        else:
+            den = f3g.from_base(x_buff)
+            denw = den.copy()
+            den = f3g.sub(den, np.broadcast_to(xi[None, :], (Next, 3)))
+            denw = f3g.sub(denw, np.broadcast_to(wxi[None, :], (Next, 3)))
+            ctx.x_div_x_sub_xi = f3g.mul_base(f3g.inv(den), x_buff)
+            ctx.x_div_x_sub_wxi = f3g.mul_base(f3g.inv(denw), x_buff)
 
     _exec_segment(ctx, program.step52ns, "2ns")
     prof.tick("stage4 quotient + openings")
