@@ -158,6 +158,9 @@ class _GlVec:
         lib.gl_vec_mul_rows.argtypes = [u64p, u64p, u64p, ctypes.c_size_t,
                                         ctypes.c_size_t]
         lib.gl_f3_xdiv.argtypes = [u64p, u64p, u64p, u64p, ctypes.c_size_t]
+        lib.gl_f3_dot.argtypes = [u64p, u64p, ctypes.c_size_t,
+                                  ctypes.c_size_t, ctypes.c_size_t,
+                                  ctypes.c_size_t, ctypes.c_int, u64p]
 
     @staticmethod
     def _prep(a):
@@ -230,6 +233,19 @@ class _GlVec:
         a = np.ascontiguousarray(a, dtype=np.uint64)
         out = np.empty_like(a)
         self._lib.gl_vec_prefix_product(_ptr(a), _ptr(out), a.size)
+        return out
+
+    def f3_dot(self, l: np.ndarray, buf: np.ndarray, stride: int,
+               off: int, dim: int) -> np.ndarray:
+        """[3] = sum_i L[i] (*) buf[i*stride, off:off+dim] — the openings
+        dot (dim 1: base column broadcast; dim 3: F3 product)."""
+        lv = np.ascontiguousarray(l, dtype=np.uint64)
+        if not (isinstance(buf, np.ndarray) and buf.dtype == np.uint64
+                and buf.ndim == 2 and buf.flags["C_CONTIGUOUS"]):
+            return None
+        out = np.zeros(3, dtype=np.uint64)
+        self._lib.gl_f3_dot(_ptr(lv), _ptr(buf), stride, off,
+                            buf.shape[1], lv.shape[0], dim, _ptr(out))
         return out
 
     def f3_xdiv(self, x: np.ndarray, point: np.ndarray) -> np.ndarray:

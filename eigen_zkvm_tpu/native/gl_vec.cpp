@@ -532,6 +532,44 @@ void gl_f3_xdiv(const u64* x, const u64* point, u64* out, u64* scratch,
     }
 }
 
+// Openings dot product (stark_gen evals): out3 = sum_i L[i] * v_i where
+// L is [n, 3] extension rows and v_i is row i*stride + off of a [.., w]
+// buffer — dim 1 (base column: 3 base muls/row) or dim 3 (full F3
+// product).  Accumulates in five 64-bit lanes mod p (gl_add per row).
+void gl_f3_dot(const u64* l, const u64* buf, size_t stride, size_t off,
+               size_t w, size_t n, int dim, u64* out3) {
+    u64 acc0 = 0, acc1 = 0, acc2 = 0;
+    if (dim == 1) {
+        for (size_t i = 0; i < n; i++) {
+            u64 v = buf[i * stride * w + off];
+            acc0 = gl_add(acc0, gl_mul(l[3 * i], v));
+            acc1 = gl_add(acc1, gl_mul(l[3 * i + 1], v));
+            acc2 = gl_add(acc2, gl_mul(l[3 * i + 2], v));
+        }
+    } else {
+        for (size_t i = 0; i < n; i++) {
+            const u64* v = buf + i * stride * w + off;
+            u64 a0 = v[0], a1 = v[1], a2 = v[2];
+            u64 b0 = l[3 * i], b1 = l[3 * i + 1], b2 = l[3 * i + 2];
+            // f3g.mul (Karatsuba form, fields/f3g.py)
+            u64 aa = gl_mul(gl_add(a0, a1), gl_add(b0, b1));
+            u64 bb = gl_mul(gl_add(a0, a2), gl_add(b0, b2));
+            u64 cc = gl_mul(gl_add(a1, a2), gl_add(b1, b2));
+            u64 dd = gl_mul(a0, b0);
+            u64 ee = gl_mul(a1, b1);
+            u64 ff = gl_mul(a2, b2);
+            u64 gg = gl_sub(dd, ee);
+            acc0 = gl_add(acc0, gl_sub(gl_add(cc, gg), ff));
+            acc1 = gl_add(acc1, gl_sub(gl_add(aa, cc),
+                                       gl_add(gl_add(ee, ee), dd)));
+            acc2 = gl_add(acc2, gl_sub(bb, gg));
+        }
+    }
+    out3[0] = acc0;
+    out3[1] = acc1;
+    out3[2] = acc2;
+}
+
 void gl_ntt(u64* data, size_t n, size_t k, const u64* pows, const u64* rev) {
     // bit-reverse permute rows (rev is an involution: swap i < rev[i])
     for (size_t i = 0; i < n; i++) {

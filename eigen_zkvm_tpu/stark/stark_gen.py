@@ -334,8 +334,11 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
                     ntt.intt(_geometric(wxis, N)))
         evals = vm_jax.compute_evals(ctx, *levs)
     else:
+        from .. import native
+
         LEv = ntt.intt(_geometric(xis, N))
         LpEv = ntt.intt(_geometric(wxis, N))
+        nv = native.gl_vec if hasattr(native.gl_vec, "f3_dot") else None
         evals = np.zeros((len(starkinfo.ev_map), 3), dtype=np.uint64)
         for i, ev in enumerate(starkinfo.ev_map):
             if ev.type_ == "const":
@@ -348,6 +351,11 @@ def stark_gen(cm_pols, const_pols, const_tree, starkinfo,
             else:
                 raise ValueError(f"Invalid ev type: {ev.type_}")
             l = LpEv if ev.prime else LEv
+            r = nv.f3_dot(l, buf, 1 << extend_bits, off, dim) \
+                if nv is not None else None
+            if r is not None:
+                evals[i] = r
+                continue
             v = buf[:: 1 << extend_bits, off : off + dim]  # stride 2^eb
             if dim == 1:
                 prod = gl.mul(l, v)  # broadcast [N,3] * [N,1]
