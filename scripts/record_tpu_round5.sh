@@ -3,6 +3,14 @@
 # Run with the TPU tunnel alive and NOTHING else on the box:
 #   bash scripts/record_tpu_round5.sh
 # Each step is independently resumable; compiles persist in the jax cache.
+#
+# Measured reality (2026-08-21, tunnel restored): step 2 is the long pole
+# on a cold cache — the real RV32 machine PIL's stage-1 commit alone is
+# ~1549 s cold (dozens of remote XLA compiles for the sliced VM + commit
+# programs at 2^16/2^17), so the first pass exists mostly to FILL the
+# persistent compile cache; a second pass re-runs warm and is the one
+# whose stage split lands in BENCH_RV32_TPU.json.  Budget step 2 at
+# >=2x its timeout when the cache is empty, or run it twice.
 set -x
 cd "$(dirname "$0")/.."
 export PYTHONPATH=/root/.axon_site
